@@ -1,0 +1,52 @@
+"""hikari_tpu — a TPU-native differentiable realtime path tracer.
+
+A brand-new JAX/XLA/Pallas implementation of the rendering capabilities of the
+reference renderer ``bevy-hikari`` (Rust + WGSL hybrid deferred path tracer,
+see /root/reference): G-buffer prepass, BVH-accelerated ray traversal,
+next-event estimation with an emissive light BVH and alias tables,
+ReSTIR-style temporal/spatial reservoir reuse with sample validation,
+SVGF-style à-trous denoising, Reinhard tone mapping, TAA ("Jasmine"),
+and SMAA-TU4x temporal upscaling — designed TPU-first:
+
+* the frame pipeline is one jit-compiled pure function over pytrees
+  (scene buffers, camera, frame state) instead of a render graph of
+  bind groups and dispatches (reference: src/lib.rs:332-365);
+* ray intersection runs either as dense ray x triangle arithmetic on the
+  VPU (small scenes) or as a single stitched stackless entry/exit BVH
+  walk in world space (reference: two-level local-space traversal,
+  src/shaders/light.wgsl:400-486);
+* cross-frame state (reservoirs, previous G-buffer; reference:
+  src/light.rs:342-363, src/prepass.rs:309-318) is an explicit
+  ``FrameState`` pytree threaded through the step — trivially
+  checkpointable and shardable;
+* pixels/rays shard across a TPU mesh via ``shard_map`` with halo
+  exchange for spatial-reuse and denoise stencils; scene buffers are
+  replicated; gradients ``psum`` over ICI.
+
+Subpackage map (mirrors SURVEY.md §2 component inventory):
+  scene/    — host-side scene compiler: meshes, materials, instances ->
+              flat SoA device buffers, BVH build + flatten, alias tables
+              (reference: src/mesh_material/).
+  trace/    — ray intersection kernels: dense brute force, stackless BVH
+              walk, Pallas tiles (reference: src/shaders/light.wgsl tracing).
+  render/   — the frame pipeline: G-buffer, direct/emissive/indirect
+              lighting with ReSTIR, denoise, tonemap, TAA, upscale
+              (reference: src/prepass.rs, src/light.rs, src/post_process.rs).
+  diff/     — differentiable-rendering utilities: losses, parameter
+              gradients, finite-difference checks (new; no reference analogue).
+  parallel/ — device mesh, shard specs, sharded/distributed render and
+              train steps (new; reference is single-GPU).
+  io/       — glTF loading, PNG output, golden-image comparison.
+"""
+
+__version__ = "0.1.0"
+
+from hikari_tpu.config import RenderSettings, UniversalSettings, Taa, Upscale
+
+__all__ = [
+    "RenderSettings",
+    "UniversalSettings",
+    "Taa",
+    "Upscale",
+    "__version__",
+]

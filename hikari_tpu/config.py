@@ -1,0 +1,167 @@
+"""Render settings — the TPU equivalent of the reference's config system.
+
+The reference has three config mechanisms (SURVEY.md §5):
+  1. per-camera ``HikariSettings`` component (reference src/lib.rs:402-455)
+     shipped to shaders via ``FrameUniform`` (src/view.rs:106-193);
+  2. global ``HikariUniversalSettings`` (src/lib.rs:375-389) gating BVH builds;
+  3. compile-time pipeline specialization via shader defs
+     (src/light.rs:136-174, src/post_process.rs:401-501).
+
+Here (1) and (3) merge into one frozen dataclass used as a *static* jit
+argument: every distinct ``RenderSettings`` value traces and compiles its own
+XLA executable — exactly analogous to the reference's specialized pipeline
+cache. Fields that the reference reads dynamically from ``FrameUniform``
+each frame (frame number etc.) live in ``FrameState`` instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from dataclasses import dataclass
+
+
+class Taa(enum.Enum):
+    """Temporal anti-aliasing method (reference src/lib.rs:468-472)."""
+
+    JASMINE = "jasmine"
+    NONE = "none"
+
+
+class UpscaleMode(enum.Enum):
+    """Upscaling implementation (reference src/lib.rs:476-513)."""
+
+    FSR1 = "fsr1"
+    SMAA_TU4X = "smaa_tu4x"
+    NONE = "none"
+
+
+@dataclass(frozen=True)
+class Upscale:
+    """Upscale method + ratio (reference src/lib.rs:476-513).
+
+    ``ratio`` is clamped to [1.0, 2.0] like the reference's
+    ``Upscale::ratio`` (src/lib.rs:495-499). ``sharpness`` only applies to
+    FSR1 (0.0 = max sharpness, like the reference src/lib.rs:502-507).
+    """
+
+    mode: UpscaleMode = UpscaleMode.SMAA_TU4X
+    ratio: float = 2.0
+    sharpness: float = 0.0
+
+    def clamped_ratio(self) -> float:
+        if self.mode == UpscaleMode.NONE:
+            return 1.0
+        return min(max(self.ratio, 1.0), 2.0)
+
+    @staticmethod
+    def smaa_tu4x(ratio: float = 2.0) -> "Upscale":
+        return Upscale(mode=UpscaleMode.SMAA_TU4X, ratio=ratio)
+
+    @staticmethod
+    def fsr1(ratio: float = 2.0, sharpness: float = 0.0) -> "Upscale":
+        return Upscale(mode=UpscaleMode.FSR1, ratio=ratio, sharpness=sharpness)
+
+    @staticmethod
+    def none() -> "Upscale":
+        return Upscale(mode=UpscaleMode.NONE, ratio=1.0)
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    """Per-camera settings; defaults mirror ``HikariSettings::default``
+    (reference src/lib.rs:436-455).
+
+    Static-shape fields added for the TPU build: ``width``/``height`` are the
+    *output* resolution; the internal render resolution is
+    ``output // upscale.ratio`` per axis, matching the reference's scaled
+    render targets (src/light.rs:318-319, src/post_process.rs:710-731).
+    """
+
+    # --- output resolution (static shapes) ---
+    width: int = 512
+    height: int = 512
+
+    # --- reference HikariSettings fields, same defaults ---
+    direct_validate_interval: int = 3
+    emissive_validate_interval: int = 5
+    max_temporal_reuse_count: int = 50
+    max_spatial_reuse_count: int = 800
+    max_reservoir_lifetime: float = 100.0
+    solar_angle: float = 0.046
+    indirect_bounces: int = 1
+    max_indirect_luminance: float = 10.0
+    clear_color: tuple = (0.4, 0.4, 0.4, 1.0)
+    temporal_reuse: bool = True
+    emissive_spatial_reuse: bool = False
+    indirect_spatial_reuse: bool = True
+    denoise: bool = True
+    taa: Taa = Taa.JASMINE
+    upscale: Upscale = Upscale()
+
+    # --- pipeline-specialization analogues (reference shader defs) ---
+    firefly_filtering: bool = True  # FIREFLY_FILTERING, src/post_process.rs:386
+    emissive_lit: bool = True  # run the EMISSIVE_LIT channel, src/light.rs:418
+    # render direct sun channel with surface emissive added (RENDER_EMISSIVE)
+    # is derived: the channel that runs *last* among direct/emissive adds it.
+
+    # --- tracing method selection (TPU-native; no reference analogue) ---
+    # "auto": brute force below `bruteforce_max_tris` world triangles, else BVH.
+    tracer: str = "auto"
+    bruteforce_max_tris: int = 2048
+    # safety cap for the stackless BVH walk (worst-case node visits)
+    max_traversal_steps: int = 0  # 0 = use node_count (exact worst case)
+
+    def __post_init__(self):
+        if isinstance(self.clear_color, list):
+            object.__setattr__(self, "clear_color", tuple(self.clear_color))
+
+    @property
+    def upscale_ratio(self) -> float:
+        return self.upscale.clamped_ratio()
+
+    @property
+    def render_size(self) -> tuple:
+        """Internal render resolution (height, width) — reference
+        ``scaled_size`` (src/light.rs:318-319)."""
+        r = self.upscale_ratio
+        return (int(self.height / r), int(self.width / r))
+
+    @property
+    def output_size(self) -> tuple:
+        return (self.height, self.width)
+
+    def replace(self, **kw) -> "RenderSettings":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class UniversalSettings:
+    """Global toggles gating acceleration-structure builds
+    (reference ``HikariUniversalSettings``, src/lib.rs:375-389)."""
+
+    build_mesh_acceleration_structure: bool = True
+    build_instance_acceleration_structure: bool = True
+
+
+# Workgroup size of every reference compute dispatch (src/lib.rs:53).
+# On TPU the analogous quantum is the VPU tile: last dim 128, sublane 8.
+WORKGROUP_SIZE = 8
+
+# Constants from the reference light shader (src/shaders/light.wgsl:226-256).
+RAY_BIAS = 0.02
+DISTANCE_MAX = 65535.0
+NOISE_TEXTURE_COUNT = 16
+GOLDEN_RATIO = 1.618033989
+POSITION_MISS_THRESHOLD = 0.5
+MAX_VARIANCE = 10.0
+F32_EPSILON = 1.1920929e-7
+F32_MAX = 3.402823466e38
+
+SPATIAL_REUSE_COUNT_DIRECT = 16
+SPATIAL_REUSE_RANGE_DIRECT = 20.0
+SPATIAL_REUSE_COUNT_EMISSIVE = 8
+SPATIAL_REUSE_RANGE_EMISSIVE = 10.0
+SPATIAL_REUSE_TAPS = 4
+DIRECT_VALIDATION_FRAME_SAMPLE_THRESHOLD = 4
+SPATIAL_VARIANCE_SAMPLE_THRESHOLD = 4

@@ -1,0 +1,255 @@
+"""The five benchmark scene configs (BASELINE.json `configs`), mirroring the
+reference's example scenes (examples/{cornell,minimal,simple,scene,city}.rs)
+which are its de-facto acceptance tests (SURVEY.md §3.5, §4).
+
+Each constructor returns (Scene, Camera, RenderSettings-overrides) with
+geometry/materials/lights matching the corresponding example's setup.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from hikari_tpu.config import RenderSettings, Upscale
+from hikari_tpu.render.camera import Camera
+from hikari_tpu.scene.compile import DirectionalLight, Instance, Material, Scene
+from hikari_tpu.scene.mesh import cube_mesh, plane_mesh, uv_sphere_mesh, quad_mesh
+
+REFERENCE_ASSETS = "/root/reference/assets"
+
+
+def _euler_xyz_matrix(rx: float, ry: float, rz: float) -> np.ndarray:
+    """Rotation matrix for Quat::from_euler(EulerRot::XYZ, rx, ry, rz) —
+    intrinsic rotations applied X then Y then Z (glam semantics:
+    q = qx * qy * qz acting on column vectors => R = Rx @ Ry @ Rz)."""
+    cx, sx = np.cos(rx), np.sin(rx)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    rxm = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    rym = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rzm = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return (rxm @ rym @ rzm).astype(np.float32)
+
+
+def _transform(translation=(0, 0, 0), rotation=None, scale=(1, 1, 1)) -> np.ndarray:
+    m = np.eye(4, dtype=np.float32)
+    r = np.eye(3, dtype=np.float32) if rotation is None else rotation
+    m[:3, :3] = r * np.asarray(scale, dtype=np.float32)[None, :]
+    m[:3, 3] = translation
+    return m
+
+
+def _sun_from_euler(rx, ry, rz, illuminance=10000.0) -> DirectionalLight:
+    """Bevy directional lights shine along the rotated -Z axis; the GPU
+    light color is premultiplied by illuminance (bevy_pbr 0.9)."""
+    rot = _euler_xyz_matrix(rx, ry, rz)
+    direction = rot @ np.array([0.0, 0.0, -1.0], dtype=np.float32)
+    return DirectionalLight(
+        direction=tuple(direction), color=(illuminance,) * 3
+    )
+
+
+def cornell_box_scene() -> Scene:
+    """The Cornell box (reference examples/cornell.rs loads
+    assets/models/cornell.glb). Loads the same glb when available, else a
+    procedural replica of its geometry/materials."""
+    glb = os.path.join(REFERENCE_ASSETS, "models/cornell.glb")
+    scene = Scene(
+        materials=[],
+        directional_light=DirectionalLight(color=(0.0, 0.0, 0.0)),
+    )
+    if os.path.exists(glb):
+        from hikari_tpu.io.gltf import load_gltf
+
+        return load_gltf(glb, scene)
+    return _procedural_cornell(scene)
+
+
+def _procedural_cornell(scene: Scene) -> Scene:
+    """Classic Cornell-box layout (matches cornell.glb's materials)."""
+    white = scene.add_material(Material(base_color=(0.725, 0.71, 0.68, 1.0), metallic=0.0))
+    red = scene.add_material(Material(base_color=(0.63, 0.065, 0.05, 1.0), metallic=0.0))
+    green = scene.add_material(Material(base_color=(0.14, 0.45, 0.091, 1.0), metallic=0.0))
+    light = scene.add_material(
+        Material(
+            base_color=(0.78, 0.78, 0.78, 1.0),
+            emissive=(1.0, 1.0, 1.0, 1.0),
+            metallic=0.0,
+        )
+    )
+    quad = scene.add_mesh(quad_mesh(2.0))
+    ident = np.eye(3)
+    rx90 = _euler_xyz_matrix(-np.pi / 2, 0, 0)  # +Z normal -> +Y (floor)
+    rx_90 = _euler_xyz_matrix(np.pi / 2, 0, 0)  # +Z -> -Y (ceiling)
+    ry90 = _euler_xyz_matrix(0, np.pi / 2, 0)  # +Z -> +X (left wall)
+    ry_90 = _euler_xyz_matrix(0, -np.pi / 2, 0)  # +Z -> -X (right wall)
+    # Box interior [-1,1]^2 x [0,2]; camera looks down -Z into the box.
+    scene.add_instance(Instance(quad, white, _transform((0, 1, -1), ident)))  # back
+    scene.add_instance(Instance(quad, white, _transform((0, 0, 0), rx90)))  # floor
+    scene.add_instance(Instance(quad, white, _transform((0, 2, 0), rx_90)))  # ceiling
+    scene.add_instance(Instance(quad, red, _transform((-1, 1, 0), ry90)))  # left
+    scene.add_instance(Instance(quad, green, _transform((1, 1, 0), ry_90)))  # right
+    light_quad = scene.add_mesh(quad_mesh(0.5))
+    scene.add_instance(
+        Instance(light_quad, light, _transform((0, 1.98, 0), rx_90))
+    )
+    box = scene.add_mesh(cube_mesh(1.0))
+    rshort = _euler_xyz_matrix(0, -0.3, 0)
+    rtall = _euler_xyz_matrix(0, 0.3, 0)
+    scene.add_instance(
+        Instance(box, white, _transform((0.35, 0.3, 0.35), rshort, (0.6, 0.6, 0.6)))
+    )
+    scene.add_instance(
+        Instance(box, white, _transform((-0.35, 0.6, -0.3), rtall, (0.6, 1.2, 0.6)))
+    )
+    return scene
+
+
+def cornell_config(size: int = 512):
+    """BASELINE config 1: 'cornell.rs Cornell box: direct lighting only,
+    1 bounce, 1 spp, 512x512'."""
+    scene = cornell_box_scene()
+    cam = Camera.from_lookat(eye=(0.0, 1.0, 4.0), target=(0.0, 1.0, 0.0))
+    settings = RenderSettings(
+        width=size,
+        height=size,
+        upscale=Upscale.none(),
+        indirect_bounces=1,
+    )
+    return scene, cam, settings
+
+
+def minimal_scene() -> Scene:
+    """reference examples/minimal.rs:26-52 — plane + cube + sun."""
+    scene = Scene(
+        materials=[],
+        directional_light=_sun_from_euler(-np.pi / 4, np.pi / 4, 0.0, 10000.0),
+    )
+    green = scene.add_material(Material(base_color=(0.3, 0.5, 0.3, 1.0)))
+    tan = scene.add_material(Material(base_color=(0.8, 0.7, 0.6, 1.0)))
+    plane = scene.add_mesh(plane_mesh(5.0))
+    cube = scene.add_mesh(cube_mesh(1.0))
+    scene.add_instance(Instance(plane, green))
+    scene.add_instance(Instance(cube, tan, _transform((0.0, 0.5, 0.0))))
+    return scene
+
+
+def minimal_config(width: int = 512, height: int = 512):
+    """BASELINE config 2: 'minimal.rs single mesh: full path trace 2 bounces
+    + emissive sampling'."""
+    scene = minimal_scene()
+    cam = Camera.from_lookat(eye=(-2.0, 2.5, 5.0), target=(0.0, 0.0, 0.0))
+    settings = RenderSettings(
+        width=width, height=height, indirect_bounces=2, upscale=Upscale.none()
+    )
+    return scene, cam, settings
+
+
+def simple_scene() -> Scene:
+    """reference examples/simple.rs:54-246 (subset: the Bevy-shape entities;
+    the glTF props are optional extras): ground cube, planes, emissive
+    spheres, sun."""
+    scene = Scene(
+        materials=[],
+        directional_light=_sun_from_euler(-np.pi / 4, np.pi / 4, 0.0, 10000.0),
+    )
+    ground = scene.add_material(Material(base_color=(0.3, 0.5, 0.3, 1.0)))
+    white = scene.add_material(Material(base_color=(1.0, 1.0, 1.0, 1.0)))
+    pink = scene.add_material(Material(base_color=(1.0, 0.08, 0.58, 1.0)))
+    aqua = scene.add_material(Material(base_color=(0.5, 1.0, 0.83, 1.0)))
+    em_a = scene.add_material(
+        Material(base_color=(1, 1, 1, 1), emissive=(1.0, 1.0, 1.0, 0.5))
+    )
+    em_b = scene.add_material(
+        Material(base_color=(1, 1, 1, 1), emissive=(1.0, 1.0, 1.0, 0.1))
+    )
+    cube = scene.add_mesh(cube_mesh(1.0))
+    plane = scene.add_mesh(plane_mesh(1.0))
+    sphere = scene.add_mesh(uv_sphere_mesh(1.0, 24, 12))
+    scene.add_instance(
+        Instance(cube, ground, _transform((0, -5.0, 0), None, (200.0, 10.0, 200.0)))
+    )
+    scene.add_instance(
+        Instance(plane, white, _transform((4.0, 1.0, 0.0), _euler_xyz_matrix(0, 0, np.pi / 2), (4.0, 4.0, 4.0)))
+    )
+    scene.add_instance(
+        Instance(cube, pink, _transform((-2.0, 0.5, 2.0)))
+    )
+    scene.add_instance(
+        Instance(cube, aqua, _transform((2.0, 0.5, -2.0)))
+    )
+    scene.add_instance(
+        Instance(sphere, em_a, _transform((0.0, 4.0, 0.0), None, (0.8, 0.8, 0.8)))
+    )
+    scene.add_instance(
+        Instance(sphere, em_b, _transform((5.0, 6.0, -5.0), None, (0.5, 0.5, 0.5)))
+    )
+    return scene
+
+
+def simple_config(width: int = 512, height: int = 512):
+    """BASELINE config 3: ReSTIR temporal reservoir reuse + motion vectors."""
+    scene = simple_scene()
+    cam = Camera.from_lookat(eye=(-10.0, 2.5, 20.0), target=(0.0, 0.0, 0.0))
+    settings = RenderSettings(width=width, height=height, temporal_reuse=True)
+    return scene, cam, settings
+
+
+def gltf_scene(name: str = "FlightHelmet") -> Scene:
+    """reference examples/scene.rs loads a glTF scene; we use the same
+    reference assets when present."""
+    candidates = {
+        "FlightHelmet": "models/FlightHelmet/FlightHelmet.gltf",
+        "City": "models/City/scene.gltf",
+        "Cornell": "models/cornell.glb",
+    }
+    path = os.path.join(REFERENCE_ASSETS, candidates.get(name, name))
+    scene = Scene(
+        materials=[],
+        directional_light=_sun_from_euler(-1.0, 0.6, 0.0, 10000.0),
+    )
+    if os.path.exists(path):
+        from hikari_tpu.io.gltf import load_gltf
+
+        return load_gltf(path, scene)
+    # Fallback: cornell replica.
+    return _procedural_cornell(scene)
+
+
+def scene_config(width: int = 512, height: int = 512):
+    """BASELINE config 4: spatial reservoir reuse + SVGF denoise chain."""
+    scene = gltf_scene("FlightHelmet")
+    cam = Camera.from_lookat(eye=(1.2, 1.0, 1.2), target=(0.0, 0.4, 0.0))
+    settings = RenderSettings(
+        width=width,
+        height=height,
+        indirect_spatial_reuse=True,
+        emissive_spatial_reuse=True,
+        denoise=True,
+    )
+    return scene, cam, settings
+
+
+def city_config(width: int = 512, height: int = 512):
+    """BASELINE config 5: large scene, full pipeline + temporal upscaling +
+    differentiable materials."""
+    scene = gltf_scene("City")
+    cam = Camera.from_lookat(eye=(30.0, 20.0, 30.0), target=(0.0, 0.0, 0.0))
+    settings = RenderSettings(
+        width=width,
+        height=height,
+        upscale=Upscale.smaa_tu4x(2.0),
+        denoise=True,
+    )
+    return scene, cam, settings
+
+
+CONFIGS = {
+    "cornell": cornell_config,
+    "minimal": minimal_config,
+    "simple": simple_config,
+    "scene": scene_config,
+    "city": city_config,
+}

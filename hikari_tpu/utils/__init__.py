@@ -1,0 +1,188 @@
+"""Shared shader-library math — jnp equivalents of the reference's WGSL
+utility module (src/shaders/utils.wgsl:1-66) plus small linear-algebra
+helpers. Everything is shape-polymorphic over leading batch dims and pure,
+so it vectorizes across the pixel grid for free.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+TAU = 6.283185307
+INV_TAU = 0.159154943
+PI = 3.1415926
+
+
+def luminance(v):
+    """Rec.709 luminance (reference src/shaders/utils.wgsl:62-65).
+    ``v``: (..., 3) -> (...)."""
+    return (
+        0.2126 * v[..., 0] + 0.7152 * v[..., 1] + 0.0722 * v[..., 2]
+    )
+
+
+def saturate(x):
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def dot3(a, b):
+    """Batched vec3 dot: (...,3),(...,3) -> (...)."""
+    return jnp.sum(a * b, axis=-1)
+
+
+def normalize(v, eps: float = 0.0):
+    """Normalize last axis. With eps=0 mirrors WGSL ``normalize``
+    (undefined on zero vectors — produces inf/nan like the GPU would)."""
+    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    if eps:
+        n = jnp.maximum(n, eps)
+    return v / n
+
+
+def safe_normalize(v):
+    return normalize(v, eps=1e-20)
+
+
+def length(v):
+    return jnp.sqrt(jnp.sum(v * v, axis=-1))
+
+
+def distance(a, b):
+    return length(a - b)
+
+
+def cross(a, b):
+    return jnp.cross(a, b)
+
+
+def reflect(i, n):
+    """WGSL ``reflect``: i - 2*dot(n,i)*n."""
+    return i - 2.0 * dot3(n, i)[..., None] * n
+
+
+def mix(a, b, t):
+    return a + (b - a) * t
+
+
+def fract(x):
+    return x - jnp.floor(x)
+
+
+def nan_to_zero(x):
+    return jnp.where(jnp.isnan(x), 0.0, x)
+
+
+def any_is_nan_vec(x):
+    """(...,C) -> (...) bool; reference utils.wgsl:7-13."""
+    return jnp.any(jnp.isnan(x), axis=-1)
+
+
+def pcg_hash(value):
+    """Integer hash (reference src/shaders/utils.wgsl:15-25)."""
+    state = jnp.asarray(value, dtype=jnp.uint32)
+    state = state ^ jnp.uint32(2747636419)
+    state = state * jnp.uint32(2654435769)
+    state = state ^ (state >> 16)
+    state = state * jnp.uint32(2654435769)
+    state = state ^ (state >> 16)
+    state = state * jnp.uint32(2654435769)
+    return state
+
+
+def random_float(value):
+    """u32 -> [0,1] float (reference src/shaders/utils.wgsl:27-29)."""
+    return pcg_hash(value).astype(jnp.float32) / 4294967295.0
+
+
+def clip_to_uv(clip):
+    """Clip space (...,4) -> uv in [0,1]^2, y down
+    (reference src/shaders/utils.wgsl:31-36)."""
+    uv = clip[..., :2] / clip[..., 3:4]
+    uv = (uv + 1.0) * 0.5
+    return jnp.stack([uv[..., 0], 1.0 - uv[..., 1]], axis=-1)
+
+
+def coords_to_uv(coords, size_hw):
+    """Integer pixel coords (...,2) [x,y] + (h, w) -> uv center
+    (reference src/shaders/utils.wgsl:38-40; size there is (w,h))."""
+    h, w = size_hw
+    wh = jnp.asarray([w, h], dtype=jnp.float32)
+    return (coords.astype(jnp.float32) + 0.5) / wh
+
+
+def uv_grid(size_hw):
+    """Pixel-center uv grid for an (h, w) image -> (h, w, 2) [u, v]."""
+    h, w = size_hw
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    return jnp.stack([(xs + 0.5) / w, (ys + 0.5) / h], axis=-1)
+
+
+def normal_basis(n):
+    """Branchless orthonormal tangent frame (reference
+    src/shaders/utils.wgsl:42-49, the Duff et al. method).
+    ``n``: (...,3) -> (...,3,3) whose COLUMNS are (t, b, n), so
+    ``basis @ v`` maps local (tangent-space) vectors to world space,
+    matching WGSL ``mat3x3(t, b, n) * v``."""
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    s = jnp.minimum(jnp.sign(nz) * 2.0 + 1.0, 1.0)
+    u = -1.0 / (s + nz)
+    v = nx * ny * u
+    t = jnp.stack([1.0 + s * nx * nx * u, s * v, -s * nx], axis=-1)
+    b = jnp.stack([v, s + ny * ny * u, -ny], axis=-1)
+    return jnp.stack([t, b, n], axis=-1)  # columns
+
+
+def halton(base: int, index: int) -> float:
+    """Scalar Halton sequence term (host-side; reference utils.wgsl:52-59)."""
+    result, f = 0.0, 1.0
+    i = index
+    while i > 0:
+        f /= base
+        result += f * (i % base)
+        i //= base
+    return result
+
+
+def halton23_sequence(count: int) -> np.ndarray:
+    """(count, 2) Halton(2,3) points — the reference's jitter table
+    (src/view.rs:130-139 packs 16 of these into 8 vec4s)."""
+    return np.array(
+        [[halton(2, i), halton(3, i)] for i in range(count)], dtype=np.float32
+    )
+
+
+# The reference's 3x3 à-trous kernel (src/view.rs:125-129).
+ATROUS_KERNEL = np.array(
+    [
+        [0.0625, 0.125, 0.0625],
+        [0.125, 0.25, 0.125],
+        [0.0625, 0.125, 0.0625],
+    ],
+    dtype=np.float32,
+)
+
+# 16 Halton(2,3) jitter points (reference src/view.rs:130-139, HALTON const).
+HALTON_JITTER = halton23_sequence(16)
+
+
+def rgb_to_ycocg(rgb):
+    """(...,3) RGB -> YCoCg (reference src/shaders/taa.wgsl:20-26)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = r / 4.0 + g / 2.0 + b / 4.0
+    co = r / 2.0 - b / 2.0
+    cg = -r / 4.0 + g / 2.0 - b / 4.0
+    return jnp.stack([y, co, cg], axis=-1)
+
+
+def ycocg_to_rgb(ycocg):
+    """(reference src/shaders/taa.wgsl:28-34) — clamps to [0,1]."""
+    y, co, cg = ycocg[..., 0], ycocg[..., 1], ycocg[..., 2]
+    r = y + co - cg
+    g = y + cg
+    b = y - co - cg
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)

@@ -1,0 +1,88 @@
+"""Scene compiler integration: stitched node graph reachability, instance
+subtree ranges, emissive detection/alias layout (reference pipeline:
+src/mesh_material/instance.rs:244-444)."""
+
+import numpy as np
+
+from hikari_tpu.scene import compile_scene, build_scene_buffers
+
+
+def test_cornell_compile(cornell_scene):
+    arrays = compile_scene(cornell_scene)
+    P = len(arrays.tri_world)
+    N = len(arrays.node_entry)
+    I = len(arrays.inst_material)
+    assert P > 0 and I >= 6
+
+    # Every triangle is referenced by exactly one leaf of the stitched graph.
+    leaf_mask = arrays.node_entry < 0
+    prims = -arrays.node_entry[leaf_mask] - 1
+    assert sorted(prims.tolist()) == list(range(P))
+
+    # Full walk terminates and visits all nodes.
+    seen = np.zeros(N, dtype=bool)
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if i >= N or seen[i]:
+            continue
+        seen[i] = True
+        if arrays.node_entry[i] >= 0:
+            stack.append(int(arrays.node_entry[i]))
+        stack.append(int(arrays.node_exit[i]))
+    assert seen.all()
+
+    # Instance-restricted walks stay within their prim range and terminate.
+    for inst in range(I):
+        start = int(arrays.inst_blas_start[inst])
+        end = int(arrays.inst_blas_end[inst])
+        lo = int(arrays.inst_prim_offset[inst])
+        hi = lo + int(arrays.inst_prim_count[inst])
+        found = set()
+        stack = [start]
+        visited = set()
+        while stack:
+            i = stack.pop()
+            if i == end or i in visited or i >= N:
+                continue
+            visited.add(i)
+            e = int(arrays.node_entry[i])
+            if e < 0:
+                p = -e - 1
+                assert lo <= p < hi, (inst, p, lo, hi)
+                found.add(p)
+            else:
+                stack.append(e)
+            stack.append(int(arrays.node_exit[i]))
+        assert found == set(range(lo, hi))
+
+    # The light quad is detected as emissive; alias table covers its tris.
+    assert len(arrays.em_instance) == 1
+    e = 0
+    assert arrays.em_alias_count[e] == arrays.inst_prim_count[arrays.em_instance[e]]
+    assert arrays.em_surface_area[e] > 0
+    # Radius >= half diag (reference instance.rs:408-418 adds sqrt(intensity))
+    inst = arrays.em_instance[e]
+    diag = np.linalg.norm(arrays.inst_max[inst] - arrays.inst_min[inst])
+    assert arrays.em_radius[e] >= 0.5 * diag
+
+
+def test_device_buffers(cornell_buffers):
+    b = cornell_buffers
+    assert b.num_tris > 0
+    assert b.tri_world.shape[0] % 128 == 0
+    assert b.tri_world.shape[0] >= b.num_tris
+    # padded triangles are degenerate
+    pad = np.asarray(b.tri_world)[b.num_tris :]
+    assert (pad == 0).all()
+
+
+def test_instance_world_aabbs(cornell_scene):
+    arrays = compile_scene(cornell_scene)
+    # instance AABBs contain all their triangles
+    for i in range(len(arrays.inst_material)):
+        lo = int(arrays.inst_prim_offset[i])
+        hi = lo + int(arrays.inst_prim_count[i])
+        tris = arrays.tri_world[lo:hi].reshape(-1, 3)
+        assert (tris >= arrays.inst_min[i] - 1e-4).all()
+        assert (tris <= arrays.inst_max[i] + 1e-4).all()
