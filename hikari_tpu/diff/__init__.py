@@ -1,0 +1,45 @@
+"""Differentiable-rendering utilities: losses, parameter selection,
+finite-difference gradient checks (SURVEY.md §2.4 item 3; BASELINE.json
+"pixel gradients w.r.t. material, light, and vertex parameters")."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l2_image_loss(image, target):
+    d = image[..., :3] - target[..., :3]
+    return jnp.mean(d * d)
+
+
+def finite_difference_grad(f, x, eps: float = 1e-3, indices=None):
+    """Central finite differences of scalar f at numpy array x, at the given
+    flat ``indices`` (all when None). The test-harness half of the gradient
+    gate (SURVEY.md §4 tier 3)."""
+    x = np.asarray(x, dtype=np.float64)
+    flat = x.reshape(-1).copy()
+    if indices is None:
+        indices = range(flat.size)
+    g = np.zeros(flat.size)
+    for i in indices:
+        xp = flat.copy()
+        xp[i] += eps
+        xm = flat.copy()
+        xm[i] -= eps
+        g[i] = (
+            float(f(xp.reshape(x.shape).astype(np.float32)))
+            - float(f(xm.reshape(x.shape).astype(np.float32)))
+        ) / (2 * eps)
+    return g.reshape(x.shape)
+
+
+def replace_scene_field(scene, **updates):
+    """Functional update of SceneBuffers leaves."""
+    return type(scene)(
+        **{
+            **{f: getattr(scene, f) for f in scene.__dataclass_fields__},
+            **updates,
+        }
+    )

@@ -1,0 +1,134 @@
+"""Distributed execution: pixel-tile data parallelism over a device mesh.
+
+The reference is a single-process, single-GPU renderer whose only
+parallelism is the 8x8-workgroup pixel dispatch (SURVEY.md §2.4). The
+TPU-native framework adds the renderer's "DP" as a first-class axis:
+
+* the pixel grid — G-buffer, reservoirs, channel outputs, and every
+  post-process image — shards by rows across the ``tiles`` mesh axis;
+* scene buffers (BVH, triangles, materials) replicate per device;
+* under ``jax.grad``, replicated-parameter gradients all-reduce over ICI
+  automatically (GSPMD inserts the psums the reference would have needed
+  NCCL for).
+
+Row sharding + XLA GSPMD means cross-tile reads (spatial-reuse spiral
+taps, à-trous stencil rolls, reprojection gathers) lower to XLA
+collective-permute/all-gather halos; a hand-tiled shard_map variant with
+explicit ppermute halos is the planned optimization (SURVEY.md §2.4
+item 1)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hikari_tpu.config import RenderSettings
+from hikari_tpu.render.pipeline import initial_state, render_frame
+from hikari_tpu.render.types import FrameState
+
+
+def make_mesh(devices=None, axis: str = "tiles") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def _image_spec(mesh: Mesh, ndim: int, axis: str = "tiles"):
+    """Shard dim 0 (image rows); replicate the rest."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def shard_state(state: FrameState, mesh: Mesh, axis: str = "tiles") -> FrameState:
+    """Place every image-shaped leaf row-sharded; scalars replicated."""
+
+    def place(x):
+        if x.ndim >= 2 and x.shape[0] % mesh.devices.size == 0:
+            return jax.device_put(x, _image_spec(mesh, x.ndim, axis))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, state)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    )
+
+
+def make_sharded_render(settings: RenderSettings, mesh: Mesh, axis: str = "tiles"):
+    """jit-compiled SPMD render step: state/outputs row-sharded, scene and
+    camera replicated. Sharding propagates from the input placements; a
+    constraint on the final image keeps XLA from gratuitously replicating."""
+
+    @jax.jit
+    def step(scene, camera, state):
+        out, new_state = render_frame(scene, camera, state, settings)
+        constrained = jax.lax.with_sharding_constraint(
+            out.image, _image_spec(mesh, out.image.ndim, axis)
+        )
+        return type(out)(
+            **{
+                **{f: getattr(out, f) for f in out.__dataclass_fields__},
+                "image": constrained,
+            }
+        ), new_state
+
+    return step
+
+
+def render_loss(scene, camera, state, target, settings: RenderSettings):
+    """Pixel L2 loss against a target image — the canonical inverse-
+    rendering objective (BASELINE.json: pixel gradients w.r.t. material,
+    light, and vertex parameters)."""
+    out, new_state = render_frame(scene, camera, state, settings)
+    diff = out.image[..., :3] - target
+    return jnp.mean(diff * diff), (out, new_state)
+
+
+DIFF_LEAVES = (
+    "mat_base_color",
+    "mat_emissive",
+    "mat_perceptual_roughness",
+    "mat_metallic",
+    "mat_reflectance",
+    "sun_color",
+    "ambient_color",
+    "tri_world",
+)
+
+
+def make_train_step(settings: RenderSettings):
+    """Full training step: forward render + backward through shading/
+    denoise/tonemap, returning gradients w.r.t. the differentiable scene
+    leaves (materials, lights, world-space vertices at fixed hit
+    topology). Under a sharded mesh, GSPMD all-reduces these replicated-
+    parameter gradients over ICI."""
+
+    def split(scene):
+        params = {k: getattr(scene, k) for k in DIFF_LEAVES}
+        return params
+
+    def merge(scene, params):
+        return type(scene)(
+            **{
+                **{f: getattr(scene, f) for f in scene.__dataclass_fields__},
+                **params,
+            }
+        )
+
+    @jax.jit
+    def train_step(scene, camera, state, target):
+        params = split(scene)
+
+        def loss_fn(p):
+            return render_loss(merge(scene, p), camera, state, target, settings)
+
+        (loss, (out, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        return loss, grads, out, new_state
+
+    return train_step

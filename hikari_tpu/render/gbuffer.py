@@ -1,0 +1,98 @@
+"""G-buffer generation by jittered primary rays.
+
+The reference rasterizes the scene into 5 MRTs with a specialized raster
+pipeline (src/prepass.rs, src/shaders/prepass.wgsl). A TPU has no
+rasterizer, so we trace one primary ray per output pixel — producing the
+identical G-buffer contents (SURVEY.md §2.2 prepass row): world position +
+reversed-Z depth, world normal, depth gradients, instance/material ids,
+screen-space velocity (current minus reprojected previous clip position)
+and surface uv. Jitter reproduces prepass.wgsl:30-38's Halton sequence.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hikari_tpu.config import RenderSettings, Taa, UpscaleMode
+from hikari_tpu.render.camera import Camera
+from hikari_tpu.render.types import GBuffer
+from hikari_tpu.scene.buffers import SceneBuffers
+from hikari_tpu.trace.api import hit_info, trace_rays
+from hikari_tpu.utils import HALTON_JITTER, clip_to_uv
+
+
+def frame_jitter(frame_number, smaa_tu4x: bool):
+    """Reference ``frame_jitter`` (prepass.wgsl:30-38): Halton(2,3) point
+    indexed by frame & 15 (halved under SMAA TU4x)."""
+    table = jnp.asarray(HALTON_JITTER)  # (16, 2)
+    index = jnp.where(smaa_tu4x, frame_number >> 1, frame_number) & 15
+    return table[index]
+
+
+def render_gbuffer(
+    scene: SceneBuffers,
+    camera: Camera,
+    frame_number,
+    settings: RenderSettings,
+) -> GBuffer:
+    size = settings.output_size
+    h, w = size
+
+    smaa = settings.upscale.mode == UpscaleMode.SMAA_TU4X
+    taa_on = settings.taa == Taa.JASMINE
+    if taa_on or smaa:
+        fj = frame_jitter(frame_number, smaa)
+        # Clip-space jitter +(j.x, -j.y)*w (prepass.wgsl:69) shifts geometry
+        # by +j pixels in x / +j in uv-y; the ray-traced equivalent samples
+        # the scene at pixel center - j.
+        jitter = -fj
+    else:
+        jitter = None
+
+    origin, direction = camera.pixel_rays(size, jitter)
+    hit = trace_rays(
+        scene,
+        origin,
+        direction,
+        method=settings.tracer,
+        bruteforce_max_tris=settings.bruteforce_max_tris,
+    )
+    info = hit_info(scene, origin, direction, hit)
+
+    miss = hit.prim < 0
+    world_pos = info.position[..., :3]
+    depth = jnp.where(miss, 0.0, camera.depth_of(world_pos))
+    position = jnp.concatenate([world_pos, depth[..., None]], axis=-1)
+
+    # Motion vectors: previous world position via the instance's previous
+    # model matrix (reference prepass.wgsl:55-58 + velocity :96).
+    safe_inst = jnp.maximum(hit.inst, 0)
+    inv_model = scene.inst_inv_model[safe_inst]  # (h, w, 4, 4)
+    prev_model = scene.inst_prev_model[safe_inst]
+    wp_h = jnp.concatenate([world_pos, jnp.ones_like(depth)[..., None]], axis=-1)
+    local = jnp.einsum("...ij,...j->...i", inv_model, wp_h)
+    prev_world = jnp.einsum("...ij,...j->...i", prev_model, local)
+
+    view_proj = camera.view_proj(size)
+    prev_view_proj = camera.view_proj(size, previous=True)
+    clip_cur = wp_h @ view_proj.T
+    clip_prev = prev_world @ prev_view_proj.T
+    velocity = clip_to_uv(clip_cur) - clip_to_uv(clip_prev)
+    velocity = jnp.where(miss[..., None], 0.0, velocity)
+    velocity_uv = jnp.concatenate([velocity, info.uv], axis=-1)
+
+    # Depth gradients: screen-space forward differences standing in for the
+    # rasterizer's dpdx/dpdy (prepass.wgsl:89).
+    ddx = jnp.diff(depth, axis=1, append=depth[:, -1:])
+    ddy = jnp.diff(depth, axis=0, append=depth[-1:, :])
+    depth_gradient = jnp.stack([ddx, ddy], axis=-1)
+
+    return GBuffer(
+        position=position,
+        normal=jnp.where(miss[..., None], 0.0, info.normal),
+        depth_gradient=depth_gradient,
+        instance=jnp.where(miss, -1, hit.inst).astype(jnp.int32),
+        material=jnp.where(miss, -1, info.material).astype(jnp.int32),
+        velocity_uv=velocity_uv,
+    )

@@ -1,0 +1,623 @@
+"""The path-traced lighting passes: direct (sun), emissive, indirect —
+with ReSTIR temporal reuse and sample validation.
+
+jnp re-expression of the reference compute kernels ``direct_lit`` (both
+the sun variant with RENDER_EMISSIVE and the EMISSIVE_LIT variant) and
+``indirect_lit_ambient`` (src/shaders/light.wgsl:1044-1498), dispatched by
+``LightNode::run`` (src/light.rs:655-698). GPU divergent branches become
+masked dense math; the uniform validation-frame branch becomes
+``lax.cond`` (executes one side at runtime, like the GPU's uniform
+branch); reservoir buffers are pytree grids in ``FrameState``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+
+from hikari_tpu.config import (
+    DIRECT_VALIDATION_FRAME_SAMPLE_THRESHOLD,
+    F32_EPSILON,
+    GOLDEN_RATIO,
+    MAX_VARIANCE,
+    RAY_BIAS,
+    RenderSettings,
+)
+from hikari_tpu.render.brdf import (
+    calculate_view,
+    compute_emissive_radiance,
+    retrieve_surface,
+    shading,
+)
+from hikari_tpu.render.camera import Camera
+from hikari_tpu.render.noise import sample_noise
+from hikari_tpu.render.restir import (
+    Reservoir,
+    Sample,
+    check_previous_reservoir,
+    clamp_reservoir,
+    finalize_w,
+    reservoir_variance,
+    set_reservoir,
+    temporal_restir,
+)
+from hikari_tpu.render.sampling import (
+    NO_EMISSIVE,
+    empty_hit_info,
+    input_radiance,
+    sample_cosine_hemisphere,
+    select_light_candidate,
+)
+from hikari_tpu.render.types import GBuffer
+from hikari_tpu.scene.buffers import SceneBuffers
+from hikari_tpu.trace.api import hit_info, occlude_hit_info, trace_rays
+from hikari_tpu.utils import (
+    dot3,
+    fract,
+    luminance,
+    normal_basis,
+    safe_normalize,
+)
+
+
+# ---------------------------------------------------------------------------
+# G-buffer fetch at render resolution (reference jittered_deferred_* helpers,
+# light.wgsl:1007-1017)
+# ---------------------------------------------------------------------------
+
+
+def jittered_deferred_uv(uv, frame_number, deferred_size, upscale_ratio, amount=0.25):
+    h, w = deferred_size
+    texel = jnp.asarray([1.0 / w, 1.0 / h])
+    sign = jnp.where((frame_number & 1) == 0, amount, -amount)
+    return uv + sign * texel * (upscale_ratio - 1.0)
+
+
+def uv_to_coords(uv, size_hw):
+    h, w = size_hw
+    x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    return y, x
+
+
+def fetch_gbuffer(gb: GBuffer, y, x):
+    return GBuffer(
+        position=gb.position[y, x],
+        normal=gb.normal[y, x],
+        depth_gradient=gb.depth_gradient[y, x],
+        instance=gb.instance[y, x],
+        material=gb.material[y, x],
+        velocity_uv=gb.velocity_uv[y, x],
+    )
+
+
+def gather_reservoir(r: Reservoir, y, x) -> Reservoir:
+    return jax.tree_util.tree_map(lambda a: a[y, x], r)
+
+
+def load_previous_reservoir(grid: Reservoir, prev_uv, render_size) -> Reservoir:
+    """Reference ``load_previous_reservoir`` (light.wgsl:181-190): empty
+    outside [0,1]^2, nearest gather inside."""
+    in_bounds = jnp.all(jnp.abs(prev_uv - 0.5) < 0.5, axis=-1)
+    y, x = uv_to_coords(prev_uv, render_size)
+    gathered = gather_reservoir(grid, y, x)
+    empty = Reservoir.zeros(in_bounds.shape)
+    return gathered.select(in_bounds, empty)
+
+
+def scatter_invalidate(grid: Reservoir, prev_uv, mask, render_size) -> Reservoir:
+    """Zero the reservoir at reprojected coords where ``mask`` — the
+    reference's store_previous_spatial_reservoir of a reset reservoir
+    (light.wgsl:1092-1095, :1199-1202). Collisions all write zeros."""
+    in_bounds = jnp.all(jnp.abs(prev_uv - 0.5) <= 0.5, axis=-1)
+    m = mask & in_bounds
+    y, x = uv_to_coords(prev_uv, render_size)
+    keep = jnp.ones(render_size)
+    keep = keep.at[y.reshape(-1), x.reshape(-1)].min(
+        jnp.where(m, 0.0, 1.0).reshape(-1)
+    )
+    invalidated = keep < 0.5
+    return Reservoir.zeros(render_size).select(invalidated, grid)
+
+
+def render_coords(render_size):
+    rh, rw = render_size
+    ys, xs = jnp.meshgrid(
+        jnp.arange(rh, dtype=jnp.int32), jnp.arange(rw, dtype=jnp.int32), indexing="ij"
+    )
+    return ys, xs
+
+
+def channel_random(noise_bank, frame_number, render_size):
+    """Blue-noise 4D random + golden-ratio temporal scrambling
+    (light.wgsl:1075-1079)."""
+    ys, xs = render_coords(render_size)
+    r = sample_noise(noise_bank, frame_number, ys, xs)
+    return fract(r + frame_number.astype(jnp.float32) * GOLDEN_RATIO)
+
+
+# ---------------------------------------------------------------------------
+# full_screen_albedo (light.wgsl:1019-1042)
+# ---------------------------------------------------------------------------
+
+
+def full_screen_albedo(scene: SceneBuffers, camera: Camera, gb: GBuffer):
+    """Env-BRDF albedo for demodulation + overlay fallback."""
+    from hikari_tpu.render.brdf import env_brdf
+
+    has = gb.depth >= F32_EPSILON
+    surface = retrieve_surface(scene, gb.material, gb.velocity_uv[..., 2:4])
+    view = calculate_view(camera.position, gb.position[..., :3])
+    albedo = env_brdf(view, gb.normal, surface)
+    return jnp.where(has[..., None], albedo, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# direct_lit (sun + emissive variants)
+# ---------------------------------------------------------------------------
+
+
+def direct_lit_pass(
+    scene: SceneBuffers,
+    camera: Camera,
+    gbuffer: GBuffer,
+    temporal: Reservoir,
+    de_spatial_prev: Reservoir,
+    noise_bank,
+    frame_number,
+    settings: RenderSettings,
+    emissive_lit: bool,
+    render_emissive: bool,
+):
+    """One temporal lighting channel (reference ``direct_lit``,
+    light.wgsl:1044-1261). ``emissive_lit`` selects the EMISSIVE_LIT
+    shader-def variant; ``render_emissive`` adds surface self-emission to
+    the output (RENDER_EMISSIVE).
+
+    Returns (radiance (rh,rw,3), variance (rh,rw), new temporal reservoir,
+    updated shared spatial-previous reservoir, background mask)."""
+    render_size = settings.render_size
+    deferred_size = settings.output_size
+    ratio = settings.upscale_ratio
+    rh, rw = render_size
+
+    ys, xs = render_coords(render_size)
+    uv = jnp.stack(
+        [(xs.astype(jnp.float32) + 0.5) / rw, (ys.astype(jnp.float32) + 0.5) / rh],
+        axis=-1,
+    )
+    duv = jittered_deferred_uv(uv, frame_number, deferred_size, ratio)
+    dy, dx = uv_to_coords(duv, deferred_size)
+    g = fetch_gbuffer(gbuffer, dy, dx)
+
+    depth = g.position[..., 3]
+    background = depth < F32_EPSILON
+    position = g.position[..., :3]
+    normal = g.normal
+
+    rand = channel_random(noise_bank, frame_number, render_size)
+    s = Sample(
+        radiance=jnp.zeros((rh, rw, 4)),
+        random=rand,
+        visible_position=jnp.concatenate([position, depth[..., None]], axis=-1),
+        visible_normal=normal,
+        visible_instance=g.instance,
+        sample_position=jnp.zeros((rh, rw, 4)),
+        sample_normal=jnp.zeros((rh, rw, 3)),
+    )
+
+    # Temporal reprojection + geometric validation.
+    previous_uv = duv - g.velocity_uv[..., :2]
+    r = load_previous_reservoir(temporal, previous_uv, render_size)
+    r, reproj_ok = check_previous_reservoir(r, s)
+    de_spatial_prev = scatter_invalidate(
+        de_spatial_prev, previous_uv, ~reproj_ok, render_size
+    )
+
+    validate_interval = (
+        settings.emissive_validate_interval
+        if emissive_lit
+        else settings.direct_validate_interval
+    )
+    is_validation_frame = (frame_number % validate_interval) == 0
+
+    trace_kw = dict(
+        method=settings.tracer, bruteforce_max_tris=settings.bruteforce_max_tris
+    )
+
+    def shadow_trace(ray_origin, ray_dir, candidate, trace_condition, info):
+        """Trace the shadow ray + classify radiance (masked)."""
+        hit = trace_rays(
+            scene,
+            ray_origin,
+            ray_dir,
+            max_distance=candidate.max_distance,
+            early_distance=candidate.min_distance,
+            exclude_instance=candidate.emissive_instance,
+            **trace_kw,
+        )
+        info2 = occlude_hit_info(ray_origin, ray_dir, hit, info)
+        if emissive_lit:
+            rad = input_radiance(
+                scene, ray_dir, info2, False, candidate.emissive_instance, False,
+                settings.solar_angle,
+            )
+        else:
+            rad = input_radiance(
+                scene, ray_dir, info2,
+                True, jnp.full(trace_condition.shape, NO_EMISSIVE, jnp.int32), False,
+                settings.solar_angle,
+            )
+        rad = jnp.where(trace_condition[..., None], rad, 0.0)
+        return rad, info2
+
+    def sampling_branch(r_in, take_mask):
+        """New-candidate sampling + temporal ReSTIR (light.wgsl:1108-1153).
+        ``take_mask``: pixels whose reservoir actually takes the update."""
+        candidate, info = select_light_candidate(
+            scene,
+            s.random,
+            s.visible_position[..., :3],
+            s.visible_normal,
+            g.instance,
+            settings.solar_angle,
+            sample_emissive=emissive_lit,
+            trace_method=settings.tracer,
+        )
+        ray_origin = position + normal * RAY_BIAS
+        ray_dir = candidate.direction
+        cond_ = (dot3(ray_dir, normal) > 0.0) & (candidate.p > 0.0)
+        if emissive_lit:
+            cond_ = cond_ & (candidate.emissive_instance != NO_EMISSIVE)
+        rad, info2 = shadow_trace(ray_origin, ray_dir, candidate, cond_, info)
+
+        s2 = replace(
+            s,
+            radiance=rad,
+            sample_position=info2.position,
+            sample_normal=info2.normal,
+        )
+        w_new = jnp.where(
+            candidate.p > 0.0,
+            luminance(s2.radiance[..., :3]) / jnp.maximum(candidate.p, 1e-12),
+            0.0,
+        )
+        return temporal_restir(
+            r_in, s2, w_new, settings.max_temporal_reuse_count, mask=take_mask
+        )
+
+    def validation_branch(r_in, sp_prev):
+        """Re-trace the reservoir's retained sample and reset on luminance
+        mismatch (light.wgsl:1156-1214)."""
+        low_count = r_in.count < DIRECT_VALIDATION_FRAME_SAMPLE_THRESHOLD
+        r1 = sampling_branch(r_in, low_count)
+
+        candidate, info = select_light_candidate(
+            scene,
+            r1.s.random,
+            r1.s.visible_position[..., :3],
+            r1.s.visible_normal,
+            g.instance,
+            settings.solar_angle,
+            sample_emissive=emissive_lit,
+            trace_method=settings.tracer,
+        )
+        ray_origin = s.visible_position[..., :3] + s.visible_normal * RAY_BIAS
+        ray_dir = safe_normalize(
+            r1.s.sample_position[..., :3] - s.visible_position[..., :3]
+        )
+        cond_ = (dot3(candidate.direction, r1.s.visible_normal) > 0.0) & (
+            candidate.p > 0.0
+        )
+        if emissive_lit:
+            cond_ = cond_ & (candidate.emissive_instance != NO_EMISSIVE)
+        validate_rad, info2 = shadow_trace(ray_origin, ray_dir, candidate, cond_, info)
+
+        # High-count pixels adopt the validation ray as this frame's sample.
+        high = ~low_count
+        s_val = replace(
+            s,
+            random=r1.s.random,
+            radiance=validate_rad,
+            sample_position=info2.position,
+            sample_normal=info2.normal,
+        )
+
+        lum_ratio = luminance(validate_rad[..., :3]) / jnp.maximum(
+            luminance(r1.s.radiance[..., :3]), 0.0001
+        )
+        lum_miss = (lum_ratio > 1.25) | (lum_ratio < 0.8)
+
+        sp_prev2 = scatter_invalidate(sp_prev, previous_uv, lum_miss, render_size)
+
+        s_new = s_val.select(high, replace(s, random=r1.s.random))
+        w_new = jnp.where(
+            candidate.p > 0.0,
+            luminance(s_new.radiance[..., :3]) / jnp.maximum(candidate.p, 1e-12),
+            0.0,
+        )
+        r_reset = set_reservoir(s_new, w_new)
+        r2 = r_reset.select(lum_miss, r1)
+        return r2, sp_prev2
+
+    r_sampled, sp_after = jax.lax.cond(
+        is_validation_frame,
+        lambda rr, sp: validation_branch(rr, sp),
+        lambda rr, sp: (sampling_branch(rr, jnp.ones((rh, rw), dtype=bool)), sp),
+        r,
+        de_spatial_prev,
+    )
+    r = r_sampled
+
+    # Finalize W, refresh visible surface, lifetime++ (light.wgsl:1216-1227).
+    r = finalize_w(r, luminance(r.s.radiance[..., :3]))
+    r = replace(
+        r,
+        s=replace(
+            r.s, visible_position=s.visible_position, visible_normal=s.visible_normal
+        ),
+        lifetime=r.lifetime + 1.0,
+    )
+    variance = reservoir_variance(r, MAX_VARIANCE)
+
+    # Background pixels reset everything (light.wgsl:1058-1069).
+    empty = set_reservoir(Sample.zeros((rh, rw)), jnp.zeros((rh, rw)))
+    r = empty.select(background, r)
+    variance = jnp.where(background, 0.0, variance)
+
+    # Shade (light.wgsl:1233-1259).
+    surface = retrieve_surface(scene, g.material, g.velocity_uv[..., 2:4])
+    view = calculate_view(camera.position, position)
+    out_radiance = shading(
+        view,
+        r.s.visible_normal,
+        safe_normalize(r.s.sample_position[..., :3] - r.s.visible_position[..., :3]),
+        surface,
+        r.s.radiance,
+        scene.ambient_color,
+    )
+    out = out_radiance * r.w[..., None]
+    if render_emissive:
+        out = out + compute_emissive_radiance(surface.emissive)
+    out = jnp.where(background[..., None], 0.0, out)
+
+    new_temporal = r if settings.temporal_reuse else temporal
+    return out, variance, new_temporal, sp_after, background, r
+
+
+# ---------------------------------------------------------------------------
+# indirect_lit_ambient (light.wgsl:1263-1498)
+# ---------------------------------------------------------------------------
+
+
+def indirect_lit_pass(
+    scene: SceneBuffers,
+    camera: Camera,
+    gbuffer: GBuffer,
+    temporal: Reservoir,
+    spatial_prev: Reservoir,
+    noise_bank,
+    frame_number,
+    settings: RenderSettings,
+):
+    """Indirect diffuse channel with 1..N cosine-hemisphere bounces and NEE
+    at each bounce (reference ``indirect_lit_ambient``)."""
+    render_size = settings.render_size
+    deferred_size = settings.output_size
+    ratio = settings.upscale_ratio
+    rh, rw = render_size
+
+    ys, xs = render_coords(render_size)
+    uv = jnp.stack(
+        [(xs.astype(jnp.float32) + 0.5) / rw, (ys.astype(jnp.float32) + 0.5) / rh],
+        axis=-1,
+    )
+    duv = jittered_deferred_uv(uv, frame_number, deferred_size, ratio)
+    dy, dx = uv_to_coords(duv, deferred_size)
+    g = fetch_gbuffer(gbuffer, dy, dx)
+
+    depth = g.position[..., 3]
+    background = depth < F32_EPSILON
+    position = g.position[..., :3]
+    normal = safe_normalize(jnp.where(background[..., None], 1.0, g.normal))
+
+    rand = channel_random(noise_bank, frame_number, render_size)
+    s = Sample(
+        radiance=jnp.zeros((rh, rw, 4)),
+        random=rand,
+        visible_position=jnp.concatenate([position, depth[..., None]], axis=-1),
+        visible_normal=g.normal,
+        visible_instance=g.instance,
+        sample_position=jnp.zeros((rh, rw, 4)),
+        sample_normal=jnp.zeros((rh, rw, 3)),
+    )
+
+    trace_kw = dict(
+        method=settings.tracer, bruteforce_max_tris=settings.bruteforce_max_tris
+    )
+
+    bounces = max(settings.indirect_bounces, 1)
+    accum = jnp.zeros((rh, rw, 4))
+    color_transport = jnp.ones((rh, rw, 3))
+    bounce_pos = position
+    bounce_normal = normal
+    bounce_rand = rand
+    alive = ~background
+    first_pdf = jnp.zeros((rh, rw))
+    first_sample_position = jnp.zeros((rh, rw, 4))
+    first_sample_normal = jnp.zeros((rh, rw, 3))
+
+    for n in range(bounces):
+        local, pdf = sample_cosine_hemisphere(bounce_rand[..., 0:2])
+        basis = normal_basis(bounce_normal)
+        ray_dir = jnp.einsum("...ij,...j->...i", basis, local)
+        ray_origin = bounce_pos + bounce_normal * RAY_BIAS
+        hit = trace_rays(scene, ray_origin, ray_dir, **trace_kw)
+        info = hit_info(scene, ray_origin, ray_dir, hit)
+
+        if n == 0:
+            first_pdf = pdf
+            first_sample_position = info.position
+            first_sample_normal = info.normal
+
+        hit_ok = (hit.prim >= 0) & alive
+
+        # NEE at the bounce point (light.wgsl:1338-1379).
+        surface_b = retrieve_surface(scene, info.material, info.uv)
+        surface_b = surface_b.replace_roughness(jnp.ones((rh, rw)))
+        candidate, cinfo = select_light_candidate(
+            scene,
+            bounce_rand,
+            info.position[..., :3],
+            info.normal,
+            hit.inst,
+            settings.solar_angle,
+            sample_emissive=scene.num_emissives > 0,
+            trace_method=settings.tracer,
+        )
+        sample_directional = candidate.emissive_instance == NO_EMISSIVE
+        nee_cond = (dot3(candidate.direction, info.normal) > 0.0) & (
+            candidate.p > 0.0
+        ) & hit_ok
+
+        nee_origin = info.position[..., :3] + info.normal * RAY_BIAS
+        nee_hit = trace_rays(
+            scene,
+            nee_origin,
+            candidate.direction,
+            max_distance=candidate.max_distance,
+            early_distance=candidate.min_distance,
+            exclude_instance=candidate.emissive_instance,
+            **trace_kw,
+        )
+        cinfo2 = occlude_hit_info(nee_origin, candidate.direction, nee_hit, cinfo)
+        in_rad = input_radiance(
+            scene,
+            candidate.direction,
+            cinfo2,
+            sample_directional,
+            candidate.emissive_instance,
+            False,
+            settings.solar_angle,
+        )
+        bounce_view = safe_normalize(bounce_pos - info.position[..., :3])
+        out_rad = shading(
+            bounce_view,
+            info.normal,
+            candidate.direction,
+            surface_b,
+            in_rad,
+            scene.ambient_color,
+        )
+        out_rad = out_rad / jnp.maximum(candidate.p[..., None], 1e-12)
+        if n > 0:
+            out_rad = jnp.where(
+                (pdf < 0.01)[..., None], 0.0, out_rad / jnp.maximum(pdf[..., None], 1e-6)
+            )
+        # Firefly clamp (light.wgsl:1372-1376).
+        out_lum = luminance(out_rad)
+        scale = jnp.where(
+            out_lum > settings.max_indirect_luminance,
+            settings.max_indirect_luminance / jnp.maximum(out_lum, 1e-8),
+            1.0,
+        )
+        out_rad = out_rad * scale[..., None]
+        contrib_rgb = jnp.where(nee_cond[..., None], color_transport * out_rad, 0.0)
+        contrib_a = jnp.where(nee_cond, 1.0, 0.0)
+        accum = accum + jnp.concatenate(
+            [contrib_rgb, contrib_a[..., None]], axis=-1
+        )
+
+        # Miss -> ambient via color transport, alpha += 0
+        # (light.wgsl:1388-1393).
+        miss_now = (hit.prim < 0) & alive
+        amb = input_radiance(
+            scene,
+            ray_dir,
+            info,
+            False,
+            jnp.full((rh, rw), NO_EMISSIVE, jnp.int32),
+            True,
+            settings.solar_angle,
+        )[..., :3]
+        amb_rgb = jnp.where(miss_now[..., None], color_transport * amb, 0.0)
+        accum = accum + jnp.concatenate(
+            [amb_rgb, jnp.zeros((rh, rw, 1))], axis=-1
+        )
+
+        # Throughput update + next bounce state (light.wgsl:1381-1387).
+        from hikari_tpu.render.brdf import env_brdf
+
+        transport = env_brdf(bounce_view, info.normal, surface_b)
+        color_transport = jnp.where(
+            hit_ok[..., None], color_transport * transport, color_transport
+        )
+        alive = hit_ok & jnp.any(color_transport > 0.01, axis=-1)
+        bounce_rand = fract(
+            bounce_rand + frame_number.astype(jnp.float32) * GOLDEN_RATIO
+        )
+        bounce_pos = info.position[..., :3]
+        bounce_normal = info.normal
+
+    s = replace(
+        s,
+        radiance=accum,
+        sample_position=first_sample_position,
+        sample_normal=first_sample_normal,
+    )
+
+    # Temporal ReSTIR (light.wgsl:1452-1471) — target pdf is the luminance
+    # of the *shaded* radiance at the primary surface.
+    previous_uv = duv - g.velocity_uv[..., :2]
+    r = load_previous_reservoir(temporal, previous_uv, render_size)
+    r, reproj_ok = check_previous_reservoir(r, s)
+    spatial_prev = scatter_invalidate(
+        spatial_prev, previous_uv, ~reproj_ok, render_size
+    )
+
+    surface = retrieve_surface(scene, g.material, g.velocity_uv[..., 2:4])
+    view = calculate_view(camera.position, position)
+    sample_shaded = shading(
+        view,
+        s.visible_normal,
+        safe_normalize(s.sample_position[..., :3] - s.visible_position[..., :3]),
+        surface,
+        s.radiance,
+        scene.ambient_color,
+    )
+    w_new = jnp.where(
+        first_pdf > 0.0,
+        luminance(sample_shaded) / jnp.maximum(first_pdf, 1e-12),
+        0.0,
+    )
+    r = temporal_restir(r, s, w_new, settings.max_temporal_reuse_count)
+
+    out_radiance = shading(
+        view,
+        r.s.visible_normal,
+        safe_normalize(r.s.sample_position[..., :3] - r.s.visible_position[..., :3]),
+        surface,
+        r.s.radiance,
+        scene.ambient_color,
+    )
+    r = finalize_w(r, luminance(out_radiance))
+    r = replace(
+        r,
+        s=replace(
+            r.s, visible_position=s.visible_position, visible_normal=s.visible_normal
+        ),
+        lifetime=r.lifetime + 1.0,
+    )
+    variance = reservoir_variance(r, MAX_VARIANCE)
+
+    empty = Reservoir.zeros((rh, rw))
+    r = empty.select(background, r)
+    variance = jnp.where(background, 0.0, variance)
+    out = jnp.where(
+        background[..., None], 0.0, out_radiance * r.w[..., None]
+    )
+
+    new_temporal = r if settings.temporal_reuse else temporal
+    return out, variance, new_temporal, spatial_prev, background, r

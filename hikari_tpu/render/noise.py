@@ -1,0 +1,69 @@
+"""Blue-noise texture bank.
+
+The reference embeds 16 prebuilt 64x64 RGBA LDR blue-noise PNGs
+(src/lib.rs:189-219, NOISE_TEXTURE_COUNT=16; sampled at
+light.wgsl:1075-1079 with golden-ratio temporal scrambling). We generate an
+equivalent bank procedurally (no asset copying): white noise shaped by a
+high-pass radial filter in Fourier space, then rank-order normalized to an
+exact uniform [0,1) distribution per channel — standard "FFT blue noise".
+Deterministic seed; cached in-process.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from hikari_tpu.config import NOISE_TEXTURE_COUNT
+
+NOISE_SIZE = 64
+
+
+def _blue_noise_channel(rng: np.random.Generator, size: int) -> np.ndarray:
+    white = rng.standard_normal((size, size))
+    f = np.fft.fft2(white)
+    fx = np.fft.fftfreq(size)[None, :]
+    fy = np.fft.fftfreq(size)[:, None]
+    rad = np.sqrt(fx * fx + fy * fy)
+    # High-pass: suppress low frequencies (keep a tiny DC floor to avoid
+    # banding), boost ~ linearly with radius like true blue noise.
+    weight = np.minimum(rad / 0.5, 1.0) ** 1.5
+    shaped = np.real(np.fft.ifft2(f * weight))
+    # Rank-order normalize to exactly uniform [0,1).
+    flat = shaped.reshape(-1)
+    ranks = np.empty_like(flat, dtype=np.float64)
+    ranks[np.argsort(flat, kind="stable")] = (
+        np.arange(flat.size, dtype=np.float64) + 0.5
+    ) / flat.size
+    return ranks.reshape(size, size).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=1)
+def blue_noise_bank(
+    count: int = NOISE_TEXTURE_COUNT, size: int = NOISE_SIZE, seed: int = 0x51D
+) -> np.ndarray:
+    """(count, size, size, 4) float32 in [0,1) — the analogue of the
+    reference's ``NoiseTextures`` binding array (src/lib.rs:515-598)."""
+    rng = np.random.default_rng(seed)
+    bank = np.stack(
+        [
+            np.stack([_blue_noise_channel(rng, size) for _ in range(4)], axis=-1)
+            for _ in range(count)
+        ]
+    )
+    return bank
+
+
+def sample_noise(bank, frame_number: int | "jax.Array", coords_y, coords_x):
+    """Reference noise fetch (light.wgsl:1075-1079): texture index =
+    frame % NOISE_TEXTURE_COUNT; uv = (pixel + frame + 0.5)/noise_size with
+    repeat addressing + nearest filtering -> integer wrap."""
+    import jax.numpy as jnp
+
+    bank = jnp.asarray(bank)
+    count, size = bank.shape[0], bank.shape[1]
+    tex = jnp.mod(frame_number, count)
+    y = jnp.mod(coords_y + frame_number, size)
+    x = jnp.mod(coords_x + frame_number, size)
+    return bank[tex, y, x]

@@ -1,0 +1,269 @@
+"""The frame pipeline: one pure jitted function per frame.
+
+Replaces the reference's render graph
+PREPASS -> LIGHT -> POST_PROCESS -> OVERLAY (src/lib.rs:332-365) and the
+node encoders (PrepassNode src/prepass.rs:769, LightNode src/light.rs:590,
+PostProcessNode src/post_process.rs:1140, OverlayNode src/overlay.rs:342)
+with explicit function composition over pytrees:
+
+    outputs, state' = render_frame(scene, camera, state, settings)
+
+``settings`` is a static argument — each distinct value compiles its own
+XLA executable, exactly like the reference's specialized pipeline cache.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hikari_tpu.config import RenderSettings, Taa, UpscaleMode
+from hikari_tpu.render.camera import Camera
+from hikari_tpu.render.denoise import denoise_channel
+from hikari_tpu.render.filters import nearest_sample
+from hikari_tpu.render.gbuffer import render_gbuffer
+from hikari_tpu.render.light import (
+    direct_lit_pass,
+    full_screen_albedo,
+    indirect_lit_pass,
+    jittered_deferred_uv,
+    render_coords,
+)
+from hikari_tpu.render.noise import blue_noise_bank
+from hikari_tpu.render.smaa import smaa_tu4x
+from hikari_tpu.render.spatial import spatial_reuse_pass
+from hikari_tpu.render.taa import taa_jasmine
+from hikari_tpu.render.tonemap import tone_mapping
+from hikari_tpu.render.types import FrameState, GBuffer, RenderOutputs
+from hikari_tpu.scene.buffers import SceneBuffers
+
+
+def _albedo_at_render_res(albedo, gbuffer, settings, frame_number):
+    """Nearest-sample the full-res albedo at each render pixel's jittered
+    deferred uv (denoise.wgsl:148-150)."""
+    rh, rw = settings.render_size
+    ys, xs = render_coords(settings.render_size)
+    uv = jnp.stack(
+        [(xs.astype(jnp.float32) + 0.5) / rw, (ys.astype(jnp.float32) + 0.5) / rh],
+        axis=-1,
+    )
+    duv = jittered_deferred_uv(
+        uv, frame_number, settings.output_size, settings.upscale_ratio, amount=0.5
+    )
+    return nearest_sample(albedo, duv)
+
+
+def render_frame(
+    scene: SceneBuffers,
+    camera: Camera,
+    state: FrameState,
+    settings: RenderSettings,
+    noise_bank=None,
+):
+    """Render one frame. Returns (RenderOutputs, FrameState)."""
+    if noise_bank is None:
+        noise_bank = jnp.asarray(blue_noise_bank())
+    frame_number = state.frame_number
+
+    # ---- PREPASS (G-buffer by primary rays) ----
+    gbuffer = render_gbuffer(scene, camera, frame_number, settings)
+
+    # ---- LIGHT ----
+    albedo = full_screen_albedo(scene, camera, gbuffer)
+
+    de_spatial = state.de_spatial
+    direct_out, direct_var, direct_temporal, de_spatial, bg, _ = direct_lit_pass(
+        scene,
+        camera,
+        gbuffer,
+        state.direct_temporal,
+        de_spatial,
+        noise_bank,
+        frame_number,
+        settings,
+        emissive_lit=False,
+        render_emissive=True,
+    )
+
+    if settings.emissive_lit and scene.num_emissives > 0:
+        em_out, em_var, em_temporal, de_spatial, _, _ = direct_lit_pass(
+            scene,
+            camera,
+            gbuffer,
+            state.emissive_temporal,
+            de_spatial,
+            noise_bank,
+            frame_number,
+            settings,
+            emissive_lit=True,
+            render_emissive=False,
+        )
+        if settings.emissive_spatial_reuse:
+            em_out, em_var, de_spatial = spatial_reuse_pass(
+                scene,
+                camera,
+                gbuffer,
+                em_temporal,
+                de_spatial,
+                em_var,
+                frame_number,
+                settings,
+                emissive_lit=True,
+            )
+    else:
+        rh, rw = settings.render_size
+        em_out = jnp.zeros((rh, rw, 3))
+        em_var = jnp.zeros((rh, rw))
+        em_temporal = state.emissive_temporal
+
+    indirect_spatial = state.indirect_spatial
+    if settings.indirect_bounces > 0:
+        (
+            ind_out,
+            ind_var,
+            ind_temporal,
+            indirect_spatial,
+            _,
+            _,
+        ) = indirect_lit_pass(
+            scene,
+            camera,
+            gbuffer,
+            state.indirect_temporal,
+            indirect_spatial,
+            noise_bank,
+            frame_number,
+            settings,
+        )
+        if settings.indirect_spatial_reuse:
+            ind_out, ind_var, indirect_spatial = spatial_reuse_pass(
+                scene,
+                camera,
+                gbuffer,
+                ind_temporal,
+                indirect_spatial,
+                ind_var,
+                frame_number,
+                settings,
+                emissive_lit=False,
+            )
+    else:
+        rh, rw = settings.render_size
+        ind_out = jnp.zeros((rh, rw, 3))
+        ind_var = jnp.zeros((rh, rw))
+        ind_temporal = state.indirect_temporal
+
+    # ---- POST PROCESS ----
+    if settings.denoise:
+        albedo_rr = _albedo_at_render_res(albedo, gbuffer, settings, frame_number)
+        direct_d = denoise_channel(
+            direct_out, direct_var, albedo_rr, gbuffer, frame_number, settings
+        )
+        em_d = denoise_channel(
+            em_out, em_var, albedo_rr, gbuffer, frame_number, settings
+        )
+        ind_d = denoise_channel(
+            ind_out, ind_var, albedo_rr, gbuffer, frame_number, settings
+        )
+    else:
+        direct_d, em_d, ind_d = direct_out, em_out, ind_out
+
+    fg = (~bg).astype(jnp.float32)[..., None]
+
+    def with_alpha(rgb):
+        return jnp.concatenate([rgb, fg], axis=-1)
+
+    tonemapped = tone_mapping(
+        with_alpha(direct_d),
+        with_alpha(em_d) * fg,
+        with_alpha(ind_d) * fg,
+        settings.clear_color,
+    )
+
+    current = tonemapped
+    prev_upscaled = state.prev_upscaled
+    if settings.upscale.mode == UpscaleMode.SMAA_TU4X:
+        current = smaa_tu4x(
+            current, state.prev_upscaled, gbuffer, state.prev_gbuffer, frame_number
+        )
+        prev_upscaled = current
+
+    prev_taa = state.prev_taa
+    if settings.taa == Taa.JASMINE:
+        current = taa_jasmine(
+            current,
+            state.prev_taa,
+            gbuffer,
+            state.prev_gbuffer,
+            settings.clear_color,
+            settings.upscale_ratio,
+        )
+        prev_taa = current
+
+    # ---- OVERLAY (NaN -> albedo fallback, src/shaders/overlay.wgsl:42) ----
+    image = current
+    nan_mask = jnp.any(jnp.isnan(image), axis=-1, keepdims=True)
+    albedo_out = albedo
+    if image.shape[:2] != albedo.shape[:2]:
+        from hikari_tpu.utils import uv_grid
+
+        albedo_out = nearest_sample(albedo, uv_grid(image.shape[:2]))
+    image = jnp.where(
+        nan_mask,
+        jnp.concatenate([albedo_out, jnp.ones_like(albedo_out[..., :1])], axis=-1),
+        image,
+    )
+
+    new_state = FrameState(
+        frame_number=frame_number + 1,
+        prev_gbuffer=gbuffer,
+        direct_temporal=direct_temporal,
+        emissive_temporal=em_temporal,
+        indirect_temporal=ind_temporal,
+        de_spatial=de_spatial,
+        indirect_spatial=indirect_spatial,
+        prev_tonemapped=tonemapped,
+        prev_taa=prev_taa,
+        prev_upscaled=prev_upscaled,
+    )
+    outputs = RenderOutputs(
+        image=image,
+        albedo=albedo,
+        direct=direct_d,
+        emissive=em_d,
+        indirect=ind_d,
+        tonemapped=tonemapped,
+    )
+    return outputs, new_state
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def render_frame_jit(scene, camera, state, settings):
+    return render_frame(scene, camera, state, settings)
+
+
+def initial_state(settings: RenderSettings) -> FrameState:
+    """Allocate the cross-frame state with the correct per-pass shapes."""
+    h, w = settings.output_size
+    rh, rw = settings.render_size
+    taa_hw = (
+        (2 * rh, 2 * rw)
+        if settings.upscale.mode == UpscaleMode.SMAA_TU4X
+        else (rh, rw)
+    )
+    from hikari_tpu.render.restir import Reservoir
+
+    return FrameState(
+        frame_number=jnp.zeros((), dtype=jnp.int32),
+        prev_gbuffer=GBuffer.zeros((h, w)),
+        direct_temporal=Reservoir.zeros((rh, rw)),
+        emissive_temporal=Reservoir.zeros((rh, rw)),
+        indirect_temporal=Reservoir.zeros((rh, rw)),
+        de_spatial=Reservoir.zeros((rh, rw)),
+        indirect_spatial=Reservoir.zeros((rh, rw)),
+        prev_tonemapped=jnp.zeros((rh, rw, 4)),
+        prev_taa=jnp.zeros(taa_hw + (4,)),
+        prev_upscaled=jnp.zeros((2 * rh, 2 * rw, 4)),
+    )

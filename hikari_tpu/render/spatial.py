@@ -1,0 +1,223 @@
+"""ReSTIR spatial reuse.
+
+jnp equivalent of the reference ``spatial_reuse`` kernel
+(src/shaders/light.wgsl:1500-1684): merge the pixel's fresh temporal
+reservoir into the (reprojected) running spatial reservoir, then take up to
+16 (emissive: 8) neighbor taps on a per-frame-rotated Fibonacci spiral,
+rejecting by depth ratio, normal agreement, backface, and screen-space
+depth-ray-march occlusion, merging survivors with the GRIS reconnection
+Jacobian.
+
+The reference's 8x8 workgroup shared-memory tile is an optimization of the
+same gathers; here every tap is a dense whole-grid gather (a Pallas tiled
+variant is the planned optimization)."""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+
+from hikari_tpu.config import (
+    GOLDEN_RATIO,
+    MAX_VARIANCE,
+    SPATIAL_REUSE_COUNT_DIRECT,
+    SPATIAL_REUSE_COUNT_EMISSIVE,
+    SPATIAL_REUSE_RANGE_DIRECT,
+    SPATIAL_REUSE_RANGE_EMISSIVE,
+    SPATIAL_REUSE_TAPS,
+    SPATIAL_VARIANCE_SAMPLE_THRESHOLD,
+    F32_EPSILON,
+    RenderSettings,
+)
+from hikari_tpu.render.brdf import calculate_view, retrieve_surface, shading
+from hikari_tpu.render.camera import Camera
+from hikari_tpu.render.light import (
+    fetch_gbuffer,
+    gather_reservoir,
+    jittered_deferred_uv,
+    load_previous_reservoir,
+    render_coords,
+    uv_to_coords,
+)
+from hikari_tpu.render.restir import (
+    Reservoir,
+    clamp_reservoir,
+    compute_jacobian,
+    merge_reservoir,
+    reservoir_variance,
+)
+from hikari_tpu.render.types import GBuffer
+from hikari_tpu.scene.buffers import SceneBuffers
+from hikari_tpu.utils import TAU, dot3, fract, luminance, random_float, safe_normalize
+
+
+def spatial_reuse_pass(
+    scene: SceneBuffers,
+    camera: Camera,
+    gbuffer: GBuffer,
+    temporal: Reservoir,  # this channel's freshly written temporal grid
+    spatial_prev: Reservoir,  # previous-frame spatial grid (reprojectable)
+    variance_in,  # (rh, rw) variance from the temporal pass
+    frame_number,
+    settings: RenderSettings,
+    emissive_lit: bool,
+):
+    """Returns (radiance (rh,rw,3), variance, new spatial reservoir grid)."""
+    render_size = settings.render_size
+    deferred_size = settings.output_size
+    ratio = settings.upscale_ratio
+    rh, rw = render_size
+
+    reuse_count = (
+        SPATIAL_REUSE_COUNT_EMISSIVE if emissive_lit else SPATIAL_REUSE_COUNT_DIRECT
+    )
+    reuse_range = (
+        SPATIAL_REUSE_RANGE_EMISSIVE if emissive_lit else SPATIAL_REUSE_RANGE_DIRECT
+    )
+
+    ys, xs = render_coords(render_size)
+    uv = jnp.stack(
+        [(xs.astype(jnp.float32) + 0.5) / rw, (ys.astype(jnp.float32) + 0.5) / rh],
+        axis=-1,
+    )
+    duv = jittered_deferred_uv(uv, frame_number, deferred_size, ratio)
+    dy, dx = uv_to_coords(duv, deferred_size)
+    g = fetch_gbuffer(gbuffer, dy, dx)
+    depth = g.position[..., 3]
+    background = depth < F32_EPSILON
+    position = g.position[..., :3]
+
+    r = temporal  # load_reservoir(coords), light.wgsl:1520
+    q0 = r
+    s = q0.s
+
+    use_spatial_variance = r.count <= SPATIAL_VARIANCE_SAMPLE_THRESHOLD
+
+    previous_uv = duv - g.velocity_uv[..., :2]
+
+    max_lifetime = jnp.where(
+        settings.max_reservoir_lifetime <= 1.0,
+        jnp.inf,
+        settings.max_reservoir_lifetime,
+    )
+    use_prev = r.lifetime <= max_lifetime
+    r_prev = load_previous_reservoir(spatial_prev, previous_uv, render_size)
+    r = r_prev.select(use_prev, r)
+
+    surface = retrieve_surface(scene, g.material, g.velocity_uv[..., 2:4])
+    view = calculate_view(camera.position, position)
+
+    def target_p(sample, direction):
+        if emissive_lit:
+            return luminance(sample.radiance[..., :3])
+        shaded = shading(
+            view,
+            s.visible_normal,
+            direction,
+            surface,
+            sample.radiance,
+            scene.ambient_color,
+        )
+        return luminance(shaded)
+
+    self_dir = safe_normalize(s.sample_position[..., :3] - s.visible_position[..., :3])
+    r = merge_reservoir(r, q0, target_p(q0.s, self_dir))
+    r = replace(
+        r,
+        s=replace(
+            r.s, visible_position=s.visible_position, visible_normal=s.visible_normal
+        ),
+    )
+
+    rot = fract(
+        jnp.sum(s.random, axis=-1)
+        + random_float(frame_number.astype(jnp.uint32))
+    )
+
+    coords_f = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], axis=-1)
+
+    for i in range(1, reuse_count + 1):
+        # Fibonacci spiral with per-pixel random rotation (light.wgsl:1566-1572)
+        angle = TAU * fract(i * GOLDEN_RATIO + rot)
+        radius = jnp.sqrt(i / reuse_count) * reuse_range
+        offset = radius * jnp.stack([jnp.cos(angle), jnp.sin(angle)], axis=-1)
+
+        sample_coords = (offset + coords_f).astype(jnp.int32)
+        sample_uv = (sample_coords.astype(jnp.float32) + 0.5) / jnp.asarray(
+            [rw, rh], dtype=jnp.float32
+        )
+        in_bounds = jnp.all((sample_uv >= 0.0) & (sample_uv <= 1.0), axis=-1)
+
+        sx = jnp.clip(sample_coords[..., 0], 0, rw - 1)
+        sy = jnp.clip(sample_coords[..., 1], 0, rh - 1)
+        s_duv = jittered_deferred_uv(
+            (sample_coords.astype(jnp.float32) + 0.5)
+            / jnp.asarray([rw, rh], dtype=jnp.float32),
+            frame_number,
+            deferred_size,
+            ratio,
+        )
+        sdy, sdx = uv_to_coords(s_duv, deferred_size)
+        sample_depth = gbuffer.position[sdy, sdx, 3]
+        q = gather_reservoir(temporal, sy, sx)
+
+        depth_ratio = depth / jnp.where(sample_depth == 0.0, 1e-8, sample_depth)
+        ok = in_bounds & (depth_ratio >= 0.9) & (depth_ratio <= 1.1)
+        ok = ok & (q.count >= F32_EPSILON)
+        ok = ok & (dot3(s.visible_normal, q.s.visible_normal) >= 0.866)
+        sample_direction = safe_normalize(
+            q.s.sample_position[..., :3] - s.visible_position[..., :3]
+        )
+        ok = ok & (dot3(sample_direction, s.visible_normal) >= 0.0)
+
+        # Screen-space depth ray-march occlusion (light.wgsl:1608-1628).
+        tap_interval = jnp.maximum(1.0, radius / (SPATIAL_REUSE_TAPS + 1))
+        tap_count = (radius / tap_interval).astype(jnp.int32)
+        occluded = jnp.zeros((rh, rw), dtype=bool)
+        offset_dir = offset / jnp.maximum(radius, 1e-8)
+        for j in range(1, SPATIAL_REUSE_TAPS + 2):
+            tap_on = j <= tap_count
+            tap_dist = j * tap_interval
+            tap_uv = uv + tap_dist * offset_dir / jnp.asarray(
+                [rw, rh], dtype=jnp.float32
+            )
+            t_duv = jittered_deferred_uv(tap_uv, frame_number, deferred_size, ratio)
+            tdy, tdx = uv_to_coords(t_duv, deferred_size)
+            tap_depth = gbuffer.position[tdy, tdx, 3]
+            ref_depth = depth + (sample_depth - depth) * (
+                j / (tap_count.astype(jnp.float32) + 1.0)
+            )
+            occluded = occluded | (tap_on & (tap_depth > ref_depth + 1e-5))
+        ok = ok & ~occluded
+
+        jac = jnp.where(
+            q.s.sample_position[..., 3] > 0.5, compute_jacobian(q.s, s), 1.0
+        )
+        p = target_p(q.s, sample_direction) / jac
+        r = merge_reservoir(r, q, p, mask=ok)
+
+    r = clamp_reservoir(r, settings.max_spatial_reuse_count)
+
+    out_dir = safe_normalize(r.s.sample_position[..., :3] - s.visible_position[..., :3])
+    out_radiance = shading(
+        view, s.visible_normal, out_dir, surface, r.s.radiance, scene.ambient_color
+    )
+    if emissive_lit:
+        total_lum = r.count * luminance(r.s.radiance[..., :3])
+    else:
+        total_lum = r.count * luminance(out_radiance)
+    w = jnp.where(total_lum > 0.0, r.w_sum / jnp.where(total_lum == 0.0, 1.0, total_lum), 0.0)
+    r = replace(r, w=w, lifetime=r.lifetime + 1.0)
+
+    variance = jnp.where(
+        use_spatial_variance, reservoir_variance(r, MAX_VARIANCE), variance_in
+    )
+
+    # Background: keep the temporal (empty) reservoir, zero output
+    # (light.wgsl:1526-1530).
+    r = temporal.select(background, r)
+    out = jnp.where(background[..., None], 0.0, out_radiance * r.w[..., None])
+    variance = jnp.where(background, 0.0, variance)
+    return out, variance, r

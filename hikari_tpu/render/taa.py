@@ -1,0 +1,166 @@
+"""TAA "Jasmine" — temporal anti-aliasing with nearest-velocity dilation,
+5-tap Catmull-Rom history resampling, multi-probe disocclusion tests, and
+3x3 YCoCg variance clipping on disocclusion.
+
+jnp equivalent of src/shaders/taa.wgsl (entry ``taa_jasmine``), run by
+``PostProcessNode`` at the post-SMAA resolution (src/post_process.rs:
+1260-1277)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from hikari_tpu.render.filters import bilinear_sample, nearest_sample, texture_gather
+from hikari_tpu.render.types import GBuffer
+from hikari_tpu.utils import rgb_to_ycocg, uv_grid, ycocg_to_rgb
+
+
+def clip_towards_aabb_center(prev_c, cur_c, aabb_min, aabb_max):
+    """(taa.wgsl:37-45)."""
+    p_clip = 0.5 * (aabb_max + aabb_min)
+    e_clip = 0.5 * (aabb_max - aabb_min)
+    v_clip = prev_c - p_clip
+    v_unit = v_clip / jnp.where(e_clip == 0.0, 1e-8, e_clip)
+    ma_unit = jnp.max(jnp.abs(v_unit), axis=-1, keepdims=True)
+    clipped = p_clip + v_clip / jnp.maximum(ma_unit, 1e-8)
+    return jnp.where(ma_unit > 1.0, clipped, prev_c)
+
+
+def nearest_velocity(gbuffer: GBuffer, uv, inv_size):
+    """Velocity dilation via 4-tap max-depth (taa.wgsl:54-73). ``inv_size``
+    is the texel size of the *render* texture the pass runs at."""
+    tx, ty = inv_size
+    offs = [(tx, ty), (-tx, ty), (tx, -ty), (-tx, -ty)]
+    depths = [
+        nearest_sample(gbuffer.position, uv + jnp.asarray(o))[..., 3] for o in offs
+    ]
+    depths = jnp.stack(depths, axis=-1)  # (..., 4)
+    max_depth = jnp.max(depths, axis=-1)
+    depth = nearest_sample(gbuffer.position, uv)[..., 3]
+    is_max = depths == max_depth[..., None]
+    xsign = jnp.asarray([1.0, -1.0, 1.0, -1.0])
+    ysign = jnp.asarray([1.0, 1.0, -1.0, -1.0])
+    ox = tx * jnp.sum(jnp.where(is_max, xsign, 0.0), axis=-1)
+    oy = ty * jnp.sum(jnp.where(is_max, ysign, 0.0), axis=-1)
+    offset = jnp.where(
+        (depth < max_depth)[..., None], jnp.stack([ox, oy], axis=-1), 0.0
+    )
+    return nearest_sample(gbuffer.velocity_uv, uv + offset)[..., :2]
+
+
+def catmull_rom_5tap(img, sample_position, size_hw):
+    """5-tap Catmull-Rom history resample (taa.wgsl:127-144; TheRealMJP)."""
+    h, w = size_hw
+    size = jnp.asarray([w, h], dtype=jnp.float32)
+    texel = 1.0 / size
+    texel_pos_1 = jnp.floor(sample_position - 0.5) + 0.5
+    f = sample_position - texel_pos_1
+    w0 = f * (-0.5 + f * (1.0 - 0.5 * f))
+    w1 = 1.0 + f * f * (-2.5 + 1.5 * f)
+    w2 = f * (0.5 + f * (2.0 - 1.5 * f))
+    w3 = f * f * (-0.5 + 0.5 * f)
+    w12 = w1 + w2
+    offset12 = w2 / jnp.maximum(w1 + w2, 1e-8)
+    tp0 = (texel_pos_1 - 1.0) * texel
+    tp3 = (texel_pos_1 + 2.0) * texel
+    tp12 = (texel_pos_1 + offset12) * texel
+
+    def s(uv):
+        return jnp.clip(bilinear_sample(img, uv)[..., :3], 0.0, 1.0)
+
+    out = jnp.zeros(sample_position.shape[:-1] + (3,))
+    out += s(jnp.stack([tp12[..., 0], tp0[..., 1]], -1)) * (w12[..., 0] * w0[..., 1])[..., None]
+    out += s(jnp.stack([tp0[..., 0], tp12[..., 1]], -1)) * (w0[..., 0] * w12[..., 1])[..., None]
+    out += s(tp12) * (w12[..., 0] * w12[..., 1])[..., None]
+    out += s(jnp.stack([tp3[..., 0], tp12[..., 1]], -1)) * (w3[..., 0] * w12[..., 1])[..., None]
+    out += s(jnp.stack([tp12[..., 0], tp3[..., 1]], -1)) * (w12[..., 0] * w3[..., 1])[..., None]
+    return out
+
+
+def taa_jasmine(
+    render,  # (h, w, 4) current frame at this pass's resolution
+    previous_render,  # (h, w, 4) TAA history
+    gbuffer: GBuffer,  # current G-buffer (full deferred res)
+    prev_gbuffer: GBuffer,
+    clear_color,
+    upscale_ratio: float,
+):
+    h, w = render.shape[0], render.shape[1]
+    texel = jnp.asarray([1.0 / w, 1.0 / h])
+    uv = uv_grid((h, w))
+
+    current_color = render[..., :3]
+    velocity = nearest_velocity(gbuffer, uv, (1.0 / w, 1.0 / h))
+    previous_uv = uv - velocity
+    boundary_miss = jnp.any(jnp.abs(previous_uv - 0.5) > 0.5, axis=-1)
+
+    biases = [
+        (0.0, 0.0),
+        (1.5, 1.5),
+        (-1.5, 1.5),
+        (1.5, -1.5),
+        (-1.5, -1.5),
+    ]
+
+    cur_pd = nearest_sample(gbuffer.position, uv)
+    cur_depth = cur_pd[..., 3]
+    has_content = cur_depth > 0.0
+    depth_miss = cur_depth == 0.0
+    position_miss = cur_depth == 0.0
+
+    for bx, by in biases:
+        b_uv = previous_uv + jnp.asarray([bx, by]) * texel
+        prev_depths = texture_gather(prev_gbuffer.position, b_uv, 3)
+        ratio = jnp.where(
+            prev_depths == 0.0, 1.0, cur_depth[..., None] / jnp.where(prev_depths == 0.0, 1.0, prev_depths)
+        )
+        has_content = has_content | jnp.any(prev_depths > 0.0, axis=-1)
+        depth_miss = depth_miss | jnp.any(ratio < 0.95, axis=-1)
+        prev_pos = nearest_sample(prev_gbuffer.position, b_uv)[..., :3]
+        dist = jnp.linalg.norm(cur_pd[..., :3] - prev_pos, axis=-1)
+        position_miss = position_miss | (dist > 0.5)
+
+    prev_velocity = nearest_sample(prev_gbuffer.velocity_uv, previous_uv)[..., :2]
+    velocity_miss = (
+        jnp.linalg.norm(velocity - prev_velocity, axis=-1) > 0.00005
+    )
+
+    size = jnp.asarray([w, h], dtype=jnp.float32)
+    sample_position = (uv - velocity) * size
+    previous_color = catmull_rom_5tap(previous_render, sample_position, (h, w))
+
+    # Disocclusion -> 3x3 YCoCg variance clipping (taa.wgsl:146-164).
+    def s_ycocg(duv):
+        c = nearest_sample(render, uv + duv)[..., :3]
+        return rgb_to_ycocg(jnp.clip(c, 0.0, 1.0))
+
+    tx, ty = texel[0], texel[1]
+    taps = [
+        s_ycocg(jnp.asarray([-tx, ty])),
+        s_ycocg(jnp.asarray([0.0, ty])),
+        s_ycocg(jnp.asarray([tx, ty])),
+        s_ycocg(jnp.asarray([-tx, 0.0])),
+        rgb_to_ycocg(jnp.clip(current_color, 0.0, 1.0)),
+        s_ycocg(jnp.asarray([tx, 0.0])),
+        s_ycocg(jnp.asarray([-tx, -ty])),
+        s_ycocg(jnp.asarray([0.0, -ty])),
+        s_ycocg(jnp.asarray([tx, -ty])),
+    ]
+    m1 = sum(taps)
+    m2 = sum(t * t for t in taps)
+    mean = m1 / 9.0
+    variance = jnp.sqrt(jnp.maximum(m2 / 9.0 - mean * mean, 0.0))
+    prev_y = rgb_to_ycocg(previous_color)
+    clipped = clip_towards_aabb_center(
+        prev_y, taps[4], mean - variance, mean + variance
+    )
+    do_clip = boundary_miss | (position_miss & velocity_miss & depth_miss)
+    previous_color = jnp.where(
+        do_clip[..., None], ycocg_to_rgb(clipped), previous_color
+    )
+
+    blend = 0.1 / upscale_ratio
+    output = previous_color + (current_color - previous_color) * blend
+    out = jnp.concatenate([output, render[..., 3:4]], axis=-1)
+    clear = jnp.broadcast_to(jnp.asarray(clear_color), out.shape)
+    return jnp.where(has_content[..., None], out, clear)

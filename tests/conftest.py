@@ -1,18 +1,28 @@
 """Test harness: force the XLA CPU backend with 8 virtual devices so the
 multi-chip sharding path (SURVEY.md §2.4) is exercised without TPU hardware.
-Must run before the first ``import jax`` anywhere in the test session.
+
+Note: this environment's sitecustomize registers a remote-TPU ("axon")
+PJRT plugin and force-sets ``jax_platforms="axon,cpu"`` at interpreter
+start, overriding the JAX_PLATFORMS env var — so we must override it back
+via jax.config *after* import, before any device use.
 """
 
 import os
 
-# Force CPU even when the environment preselects a TPU platform (e.g.
-# JAX_PLATFORMS=axon): unit tests must not depend on TPU availability.
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"  # harmless; the config update below wins
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # XLA_FLAGS fallback above covers older jax
 
 import numpy as np
 import pytest

@@ -1,0 +1,144 @@
+"""Intersection-kernel tests (SURVEY.md §4): Möller-Trumbore vs analytic
+hits, brute-force vs BVH agreement, exclusion and range restrictions,
+and differentiable hit refinement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hikari_tpu.config import F32_MAX
+from hikari_tpu.trace import (
+    hit_info,
+    intersects_aabb,
+    intersects_triangle,
+    refine_hit,
+    trace_rays,
+)
+
+
+def test_triangle_analytic():
+    v0 = jnp.array([0.0, 0.0, 0.0])
+    v1 = jnp.array([1.0, 0.0, 0.0])
+    v2 = jnp.array([0.0, 1.0, 0.0])
+    o = jnp.array([0.25, 0.25, 1.0])
+    d = jnp.array([0.0, 0.0, -1.0])
+    t, u, v = intersects_triangle(o, d, v0, v1, v2)
+    assert t == pytest.approx(1.0, rel=1e-6)
+    assert u == pytest.approx(0.25, rel=1e-5)
+    assert v == pytest.approx(0.25, rel=1e-5)
+
+    # miss outside barycentric range
+    o2 = jnp.array([0.9, 0.9, 1.0])
+    t2, _, _ = intersects_triangle(o2, d, v0, v1, v2)
+    assert t2 == F32_MAX
+
+    # parallel ray misses
+    d3 = jnp.array([1.0, 0.0, 0.0])
+    t3, _, _ = intersects_triangle(o, d3, v0, v1, v2)
+    assert t3 == F32_MAX
+
+    # backface still hits (no culling, reference uses abs(det))
+    t4, _, _ = intersects_triangle(
+        jnp.array([0.25, 0.25, -1.0]), jnp.array([0.0, 0.0, 1.0]), v0, v1, v2
+    )
+    assert t4 == pytest.approx(1.0, rel=1e-6)
+
+
+def test_aabb_analytic():
+    o = jnp.array([0.0, 0.0, -5.0])
+    inv_d = 1.0 / jnp.array([1e-12, 1e-12, 1.0])
+    t = intersects_aabb(o, inv_d, jnp.array([-1.0, -1.0, -1.0]), jnp.array([1.0, 1.0, 1.0]))
+    assert t == pytest.approx(4.0, rel=1e-5)
+    # ray starting inside: t_min negative but hit (t_max>=0)
+    t2 = intersects_aabb(
+        jnp.zeros(3), inv_d, jnp.array([-1.0, -1.0, -1.0]), jnp.array([1.0, 1.0, 1.0])
+    )
+    assert t2 < 0 and t2 > -F32_MAX
+
+
+def _random_rays(rng, n, spread=3.0):
+    o = rng.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_bruteforce_vs_bvh(cornell_buffers, rng):
+    o, d = _random_rays(rng, 512)
+    hb = trace_rays(cornell_buffers, o, d, method="bruteforce")
+    hv = trace_rays(cornell_buffers, o, d, method="bvh")
+    np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hv.t), rtol=1e-4)
+    # same primitive except possible coplanar ties: compare instance + t
+    same = np.asarray(hb.prim) == np.asarray(hv.prim)
+    assert same.mean() > 0.99, same.mean()
+    np.testing.assert_array_equal(np.asarray(hb.inst >= 0), np.asarray(hv.inst >= 0))
+
+
+def test_exclusion(cornell_buffers, rng):
+    o, d = _random_rays(rng, 256)
+    h = trace_rays(cornell_buffers, o, d, method="bruteforce")
+    hit_mask = np.asarray(h.inst) >= 0
+    excl = h.inst
+    h2 = trace_rays(cornell_buffers, o, d, exclude_instance=excl, method="bruteforce")
+    # the excluded instance never reappears as the hit
+    both = hit_mask & (np.asarray(h2.inst) >= 0)
+    assert (np.asarray(h2.inst)[both] != np.asarray(excl)[both]).all()
+    h3 = trace_rays(cornell_buffers, o, d, exclude_instance=excl, method="bvh")
+    np.testing.assert_allclose(np.asarray(h2.t), np.asarray(h3.t), rtol=1e-4)
+
+
+def test_range_restriction(cornell_buffers, rng):
+    b = cornell_buffers
+    o, d = _random_rays(rng, 256)
+    inst = 2  # restrict to one wall
+    lo = int(np.asarray(b.inst_prim_offset)[inst])
+    hi = lo + int(np.asarray(b.inst_prim_count)[inst])
+    h = trace_rays(b, o, d, range_lo=lo, range_hi=hi, method="bruteforce")
+    prim = np.asarray(h.prim)
+    ok = prim >= 0
+    assert ((prim[ok] >= lo) & (prim[ok] < hi)).all()
+
+
+def test_hit_info_normals(cornell_buffers, rng):
+    b = cornell_buffers
+    # rays from the box center outward hit walls with inward normals
+    o = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (64, 1))
+    d = jnp.asarray(
+        np.random.default_rng(1).normal(size=(64, 3)).astype(np.float32)
+    )
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    h = trace_rays(b, o, d, method="bruteforce")
+    info = hit_info(b, o, d, h)
+    hitm = np.asarray(h.prim) >= 0
+    # The Cornell box is open at the front (no wall on the camera side),
+    # so a fraction of directions escape.
+    assert hitm.mean() > 0.75
+    n = np.asarray(info.normal)[hitm]
+    dd = np.asarray(d)[hitm]
+    # double-sided quads: normal need not face the ray, but must be unit
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-4)
+    pos = np.asarray(info.position)[hitm]
+    assert (pos[:, 3] == 1.0).all()
+
+
+def test_refine_hit_gradients(cornell_buffers):
+    b = cornell_buffers
+    o = jnp.array([[0.0, 1.0, 3.0]])
+    d = jnp.array([[0.0, 0.0, -1.0]])
+    h = trace_rays(b, o, d, method="bruteforce")
+    assert int(h.prim[0]) >= 0
+
+    def dist(tri_world):
+        s = jax.tree_util.tree_map(lambda x: x, b)
+        s = type(b)(**{**{f: getattr(b, f) for f in b.__dataclass_fields__}, "tri_world": tri_world})
+        t, _, _ = refine_hit(s, o, d, h)
+        return t[0]
+
+    g = jax.grad(dist)(b.tri_world)
+    gn = np.asarray(g)
+    # gradient is nonzero exactly on the hit triangle's vertices
+    assert np.abs(gn[int(h.prim[0])]).sum() > 0
+    mask = np.ones(len(gn), bool)
+    mask[int(h.prim[0])] = False
+    assert np.abs(gn[mask]).sum() == 0
