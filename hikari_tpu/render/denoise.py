@@ -14,6 +14,7 @@ fully differentiable."""
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from hikari_tpu.config import F32_EPSILON, RenderSettings
@@ -138,6 +139,11 @@ def denoise_channel(
             )
             w = jnp.clip(w, 0.0, 1.0) * kernel[dy + 1][dx + 1]
             w = jnp.where(ok, w, 0.0)
+            # Edge-stopping weights are guides, not signal: detach them so
+            # the filter is linear in irradiance. This avoids the infinite
+            # d/dv of variance^0.25 at v=0 (NaN grads) and matches the
+            # usual differentiable-SVGF formulation.
+            w = jax.lax.stop_gradient(w)
             sum_irr = sum_irr + jnp.where(ok[..., None], s_irr, 0.0) * w[..., None]
             sum_w = sum_w + w
 

@@ -158,15 +158,18 @@ def render_frame(
     # ---- POST PROCESS ----
     if settings.denoise:
         albedo_rr = _albedo_at_render_res(albedo, gbuffer, settings, frame_number)
-        direct_d = denoise_channel(
-            direct_out, direct_var, albedo_rr, gbuffer, frame_number, settings
+        # vmap the 3 lighting channels through one denoiser graph (the
+        # reference dispatches the same pipeline 3x, post_process.rs:1190).
+        denoise3 = jax.vmap(
+            lambda rad, var: denoise_channel(
+                rad, var, albedo_rr, gbuffer, frame_number, settings
+            )
         )
-        em_d = denoise_channel(
-            em_out, em_var, albedo_rr, gbuffer, frame_number, settings
+        stacked = denoise3(
+            jnp.stack([direct_out, em_out, ind_out]),
+            jnp.stack([direct_var, em_var, ind_var]),
         )
-        ind_d = denoise_channel(
-            ind_out, ind_var, albedo_rr, gbuffer, frame_number, settings
-        )
+        direct_d, em_d, ind_d = stacked[0], stacked[1], stacked[2]
     else:
         direct_d, em_d, ind_d = direct_out, em_out, ind_out
 
@@ -201,6 +204,13 @@ def render_frame(
             settings.upscale_ratio,
         )
         prev_taa = current
+
+    if settings.upscale.mode == UpscaleMode.FSR1:
+        from hikari_tpu.render.fsr import fsr_upscale
+
+        current = fsr_upscale(
+            current, settings.output_size, settings.upscale.sharpness
+        )
 
     # ---- OVERLAY (NaN -> albedo fallback, src/shaders/overlay.wgsl:42) ----
     image = current

@@ -138,11 +138,14 @@ def spatial_reuse_pass(
 
     coords_f = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], axis=-1)
 
-    for i in range(1, reuse_count + 1):
+    def tap_body(i, r):
         # Fibonacci spiral with per-pixel random rotation (light.wgsl:1566-1572)
-        angle = TAU * fract(i * GOLDEN_RATIO + rot)
-        radius = jnp.sqrt(i / reuse_count) * reuse_range
-        offset = radius * jnp.stack([jnp.cos(angle), jnp.sin(angle)], axis=-1)
+        fi = i.astype(jnp.float32)
+        angle = TAU * fract(fi * GOLDEN_RATIO + rot)
+        radius = jnp.sqrt(fi / reuse_count) * reuse_range
+        offset = radius[..., None] * jnp.stack(
+            [jnp.cos(angle), jnp.sin(angle)], axis=-1
+        )
 
         sample_coords = (offset + coords_f).astype(jnp.int32)
         sample_uv = (sample_coords.astype(jnp.float32) + 0.5) / jnp.asarray(
@@ -196,7 +199,10 @@ def spatial_reuse_pass(
             q.s.sample_position[..., 3] > 0.5, compute_jacobian(q.s, s), 1.0
         )
         p = target_p(q.s, sample_direction) / jac
-        r = merge_reservoir(r, q, p, mask=ok)
+        return merge_reservoir(r, q, p, mask=ok)
+
+    # fori_loop keeps the compiled graph O(1) in tap count (vs 16x unroll).
+    r = jax.lax.fori_loop(1, reuse_count + 1, tap_body, r)
 
     r = clamp_reservoir(r, settings.max_spatial_reuse_count)
 
