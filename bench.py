@@ -53,10 +53,16 @@ def main():
 
     width, height = 1920, 1080
     scene, camera, settings = cornell_config()
+    # The reference's default pipeline renders 1080p output at half
+    # internal resolution (SMAA TU4x ratio 2.0, src/lib.rs:491-499) —
+    # benchmark the same configuration.
+    from hikari_tpu.config import Taa
+
     settings = settings.replace(
         width=width,
         height=height,
-        upscale=Upscale.none(),
+        upscale=Upscale.smaa_tu4x(2.0),
+        taa=Taa.JASMINE,
         denoise=True,
         indirect_bounces=1,
     )

@@ -112,6 +112,11 @@ class RenderSettings:
     # safety cap for the stackless BVH walk (worst-case node visits)
     max_traversal_steps: int = 0  # 0 = use node_count (exact worst case)
 
+    # Rematerialize each render pass under autodiff (jax.checkpoint):
+    # trades ~2x backward FLOPs for O(passes) instead of O(ops) residual
+    # memory — required for 1080p fwd+grad on a 16 GB chip.
+    remat: bool = True
+
     def __post_init__(self):
         if isinstance(self.clear_color, list):
             object.__setattr__(self, "clear_color", tuple(self.clear_color))

@@ -4,9 +4,34 @@ finite-difference gradient checks (SURVEY.md §2.4 item 3; BASELINE.json
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def clip_gradient(x, limit: float = 1e6):
+    """Identity forward; clips (and NaN-scrubs) the cotangent in backward.
+    Monte-Carlo estimator terms like 1/pdf produce legitimate but enormous
+    local derivatives (pdf ~ 1e-8 => d/dpdf ~ 1e16) whose products overflow
+    float32 into inf/NaN. Capping the cotangent at ``limit`` keeps
+    gradients finite at negligible bias — the standard differentiable-
+    rendering firewall."""
+    return x
+
+
+def _clip_gradient_fwd(x, limit):
+    return x, None
+
+
+def _clip_gradient_bwd(limit, _, g):
+    g = jnp.where(jnp.isnan(g), 0.0, g)
+    return (jnp.clip(g, -limit, limit),)
+
+
+clip_gradient.defvjp(_clip_gradient_fwd, _clip_gradient_bwd)
 
 
 def l2_image_loss(image, target):

@@ -110,7 +110,7 @@ def _node_matrix(node: dict) -> np.ndarray:
     return m
 
 
-def _convert_material(gmat: dict) -> Material:
+def _convert_material(gmat: dict, tex_id) -> Material:
     pbr = gmat.get("pbrMetallicRoughness", {})
     base_color = tuple(pbr.get("baseColorFactor", [1, 1, 1, 1]))
     metallic = pbr.get("metallicFactor", 1.0)
@@ -124,12 +124,21 @@ def _convert_material(gmat: dict) -> Material:
     # Bevy maps emissiveFactor -> StandardMaterial.emissive with alpha 1;
     # the reference's radiance scale is 255*a*rgb (light.wgsl:594-596).
     emissive = (*[c * strength for c in emissive_rgb], 1.0)
+
+    def slot(info):
+        return tex_id(info["index"]) if info is not None else -1
+
     return Material(
         base_color=base_color,
         emissive=emissive,
         perceptual_roughness=roughness,
         metallic=metallic,
         reflectance=0.5,
+        base_color_texture=slot(pbr.get("baseColorTexture")),
+        emissive_texture=slot(gmat.get("emissiveTexture")),
+        metallic_roughness_texture=slot(pbr.get("metallicRoughnessTexture")),
+        normal_map_texture=slot(gmat.get("normalTexture")),
+        occlusion_texture=slot(gmat.get("occlusionTexture")),
     )
 
 
@@ -139,11 +148,46 @@ def load_gltf(path: str, scene: Scene | None = None) -> Scene:
     out = scene if scene is not None else Scene(materials=[])
 
     mat_ids = {}
+    tex_cache: dict[int, int] = {}
+    base_dir = os.path.dirname(path)
+
+    def tex_id(gltf_texture_idx: int) -> int:
+        """glTF texture index -> scene texture id (decoded + cached)."""
+        if gltf_texture_idx in tex_cache:
+            return tex_cache[gltf_texture_idx]
+        tid = -1
+        try:
+            from io import BytesIO
+
+            from PIL import Image
+
+            source = gltf["textures"][gltf_texture_idx].get("source")
+            img = gltf["images"][source]
+            if "bufferView" in img:
+                view = gltf["bufferViews"][img["bufferView"]]
+                off = view.get("byteOffset", 0)
+                raw = buffers[view["buffer"]][off : off + view["byteLength"]]
+                pil = Image.open(BytesIO(raw))
+            elif "uri" in img and not img["uri"].startswith("data:"):
+                pil = Image.open(os.path.join(base_dir, img["uri"]))
+            elif "uri" in img:
+                pil = Image.open(
+                    BytesIO(base64.b64decode(img["uri"].split(",", 1)[1]))
+                )
+            else:
+                raise ValueError("image without source")
+            arr = np.asarray(pil.convert("RGBA"))
+            tid = out.add_texture(arr)
+        except Exception:
+            tid = -1  # graceful degradation like the fallback image
+            # path in the reference (src/lib.rs:528-534)
+        tex_cache[gltf_texture_idx] = tid
+        return tid
 
     def material_id(idx: int | None) -> int:
         if idx not in mat_ids:
             mat = (
-                _convert_material(gltf["materials"][idx])
+                _convert_material(gltf["materials"][idx], tex_id)
                 if idx is not None
                 else Material()
             )

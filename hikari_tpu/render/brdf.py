@@ -15,7 +15,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from hikari_tpu.utils import PI, dot3, safe_normalize, saturate, reflect
+from hikari_tpu.utils import PI, dot3, gather_channels, safe_normalize, saturate, reflect
 
 
 # ---------------------------------------------------------------------------
@@ -116,25 +116,64 @@ class Surface:
 
 
 def retrieve_surface(scene, material_index, uv=None) -> Surface:
-    """Reference ``retreive_surface`` NO_TEXTURE variant (light.wgsl:730-742);
-    texture sampling composes on top once the atlas lands. ``material_index``
-    may be -1 (miss) — clamped gather, callers mask."""
+    """Reference ``retreive_surface`` (light.wgsl:730-794). When the scene
+    carries no textures this is the NO_TEXTURE specialization (a *static*
+    branch — one XLA executable per variant, like the reference's
+    pipeline key); otherwise each texture slot is sampled from the uniform
+    stack and multiplied into the factors. ``material_index`` may be -1
+    (miss) — clamped gather, callers mask."""
     safe = jnp.maximum(material_index, 0)
+    base_color = gather_channels(scene.mat_base_color, safe)
+    emissive = gather_channels(scene.mat_emissive, safe)
+    metallic = scene.mat_metallic[safe]
+    occlusion = jnp.ones_like(metallic)
+
+    if getattr(scene, "num_textures", 0) > 0 and uv is not None:
+        from hikari_tpu.render.texture import sample_texture_stack, srgb_to_linear
+
+        tex = scene.textures
+        bc = sample_texture_stack(tex, scene.mat_base_color_texture[safe], uv)
+        base_color = base_color * jnp.concatenate(
+            [srgb_to_linear(bc[..., :3]), bc[..., 3:4]], axis=-1
+        )
+        em = sample_texture_stack(tex, scene.mat_emissive_texture[safe], uv)
+        emissive = emissive * jnp.concatenate(
+            [srgb_to_linear(em[..., :3]), em[..., 3:4]], axis=-1
+        )
+        mr = sample_texture_stack(
+            tex, scene.mat_metallic_roughness_texture[safe], uv
+        )
+        # Reference multiplies metallic by the red channel (light.wgsl:768).
+        metallic = metallic * mr[..., 0]
+        occ = sample_texture_stack(tex, scene.mat_occlusion_texture[safe], uv)
+        occlusion = occ[..., 0]
+
     return Surface(
-        base_color=scene.mat_base_color[safe],
-        emissive=scene.mat_emissive[safe],
+        base_color=base_color,
+        emissive=emissive,
         reflectance=scene.mat_reflectance[safe],
-        metallic=scene.mat_metallic[safe],
+        metallic=metallic,
         roughness=perceptual_roughness_to_roughness(
             scene.mat_perceptual_roughness[safe]
         ),
-        occlusion=jnp.ones_like(scene.mat_metallic[safe]),
+        occlusion=occlusion,
     )
 
 
 def retrieve_emissive(scene, material_index, uv=None):
+    """Reference ``retreive_emissive`` (light.wgsl:744-747, :783-793)."""
     safe = jnp.maximum(material_index, 0)
-    return scene.mat_emissive[safe]
+    emissive = gather_channels(scene.mat_emissive, safe)
+    if getattr(scene, "num_textures", 0) > 0 and uv is not None:
+        from hikari_tpu.render.texture import sample_texture_stack, srgb_to_linear
+
+        em = sample_texture_stack(
+            scene.textures, scene.mat_emissive_texture[safe], uv
+        )
+        emissive = emissive * jnp.concatenate(
+            [srgb_to_linear(em[..., :3]), em[..., 3:4]], axis=-1
+        )
+    return emissive
 
 
 def compute_emissive_radiance(emissive):

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from hikari_tpu.utils import gather_pixels
+
 
 def _uv_to_xy(img, uv):
     h, w = img.shape[0], img.shape[1]
@@ -20,7 +22,7 @@ def nearest_sample(img, uv):
     h, w = img.shape[0], img.shape[1]
     x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
-    return img[y, x]
+    return gather_pixels(img, y, x)
 
 
 def bilinear_sample(img, uv):
@@ -34,10 +36,10 @@ def bilinear_sample(img, uv):
     x1i = jnp.clip(x0i + 1, 0, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     y1i = jnp.clip(y0i + 1, 0, h - 1)
-    c00 = img[y0i, x0i]
-    c10 = img[y0i, x1i]
-    c01 = img[y1i, x0i]
-    c11 = img[y1i, x1i]
+    c00 = gather_pixels(img, y0i, x0i)
+    c10 = gather_pixels(img, y0i, x1i)
+    c01 = gather_pixels(img, y1i, x0i)
+    c11 = gather_pixels(img, y1i, x1i)
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
     return top * (1 - fy) + bot * fy

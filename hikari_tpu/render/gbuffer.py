@@ -67,12 +67,29 @@ def render_gbuffer(
 
     # Motion vectors: previous world position via the instance's previous
     # model matrix (reference prepass.wgsl:55-58 + velocity :96).
+    # prev_from_cur = prev_model @ inv(model) composed per instance (tiny),
+    # then gathered as 12 scalar planes — gathering whole 4x4 matrices
+    # per pixel would tile-pad (R,4,4) 32x on TPU (~4 GB at 1080p).
     safe_inst = jnp.maximum(hit.inst, 0)
-    inv_model = scene.inst_inv_model[safe_inst]  # (h, w, 4, 4)
-    prev_model = scene.inst_prev_model[safe_inst]
+    prev_from_cur = jnp.einsum(
+        "iab,ibc->iac", scene.inst_prev_model, scene.inst_inv_model
+    )  # (I, 4, 4) affine
+    m = prev_from_cur.reshape(prev_from_cur.shape[0], 16)
+
+    def comp(k):
+        return m[:, k][safe_inst]  # (h, w)
+
+    x, y, z = world_pos[..., 0], world_pos[..., 1], world_pos[..., 2]
+    prev_world = jnp.stack(
+        [
+            comp(0) * x + comp(1) * y + comp(2) * z + comp(3),
+            comp(4) * x + comp(5) * y + comp(6) * z + comp(7),
+            comp(8) * x + comp(9) * y + comp(10) * z + comp(11),
+            jnp.ones_like(x),
+        ],
+        axis=-1,
+    )
     wp_h = jnp.concatenate([world_pos, jnp.ones_like(depth)[..., None]], axis=-1)
-    local = jnp.einsum("...ij,...j->...i", inv_model, wp_h)
-    prev_world = jnp.einsum("...ij,...j->...i", prev_model, local)
 
     view_proj = camera.view_proj(size)
     prev_view_proj = camera.view_proj(size, previous=True)

@@ -17,6 +17,7 @@ from dataclasses import replace
 import jax
 import jax.numpy as jnp
 
+from hikari_tpu.diff import clip_gradient
 from hikari_tpu.config import (
     DIRECT_VALIDATION_FRAME_SAMPLE_THRESHOLD,
     F32_EPSILON,
@@ -56,6 +57,7 @@ from hikari_tpu.trace.api import hit_info, occlude_hit_info, trace_rays
 from hikari_tpu.utils import (
     dot3,
     fract,
+    gather_pixels,
     luminance,
     normal_basis,
     safe_normalize,
@@ -83,18 +85,23 @@ def uv_to_coords(uv, size_hw):
 
 
 def fetch_gbuffer(gb: GBuffer, y, x):
+    # clip_gradient: bound + NaN-scrub cotangents flowing back into the
+    # G-buffer (and through it into vertex positions) from the lighting
+    # estimator chains — see diff.clip_gradient.
     return GBuffer(
-        position=gb.position[y, x],
-        normal=gb.normal[y, x],
-        depth_gradient=gb.depth_gradient[y, x],
-        instance=gb.instance[y, x],
-        material=gb.material[y, x],
-        velocity_uv=gb.velocity_uv[y, x],
+        position=clip_gradient(gather_pixels(gb.position, y, x), 1e4),
+        normal=clip_gradient(gather_pixels(gb.normal, y, x), 1e4),
+        depth_gradient=clip_gradient(
+            gather_pixels(gb.depth_gradient, y, x), 1e4
+        ),
+        instance=gather_pixels(gb.instance, y, x),
+        material=gather_pixels(gb.material, y, x),
+        velocity_uv=clip_gradient(gather_pixels(gb.velocity_uv, y, x), 1e4),
     )
 
 
 def gather_reservoir(r: Reservoir, y, x) -> Reservoir:
-    return jax.tree_util.tree_map(lambda a: a[y, x], r)
+    return jax.tree_util.tree_map(lambda a: gather_pixels(a, y, x), r)
 
 
 def load_previous_reservoir(grid: Reservoir, prev_uv, render_size) -> Reservoir:
@@ -284,6 +291,7 @@ def direct_lit_pass(
             luminance(s2.radiance[..., :3]) / jnp.maximum(candidate.p, 1e-12),
             0.0,
         )
+        w_new = clip_gradient(w_new, 1e3)
         return temporal_restir(
             r_in, s2, w_new, settings.max_temporal_reuse_count, mask=take_mask
         )
@@ -333,22 +341,43 @@ def direct_lit_pass(
         sp_prev2 = scatter_invalidate(sp_prev, previous_uv, lum_miss, render_size)
 
         s_new = s_val.select(high, replace(s, random=r1.s.random))
-        w_new = jnp.where(
-            candidate.p > 0.0,
-            luminance(s_new.radiance[..., :3]) / jnp.maximum(candidate.p, 1e-12),
-            0.0,
+        w_new = clip_gradient(
+            jnp.where(
+                candidate.p > 0.0,
+                luminance(s_new.radiance[..., :3])
+                / jnp.maximum(candidate.p, 1e-12),
+                0.0,
+            ),
+            1e3,
         )
         r_reset = set_reservoir(s_new, w_new)
         r2 = r_reset.select(lum_miss, r1)
         return r2, sp_prev2
 
-    r_sampled, sp_after = jax.lax.cond(
-        is_validation_frame,
-        lambda rr, sp: validation_branch(rr, sp),
-        lambda rr, sp: (sampling_branch(rr, jnp.ones((rh, rw), dtype=bool)), sp),
-        r,
-        de_spatial_prev,
-    )
+    import os as _os
+
+    if _os.environ.get("HIKARI_DEBUG_BOTH_BRANCHES"):
+        # Debug path: execute both branches and mask-select, so
+        # jax_debug_nans can pinpoint primitives that lax.cond hides.
+        r_v, sp_v = validation_branch(r, de_spatial_prev)
+        r_s = sampling_branch(r, jnp.ones((rh, rw), dtype=bool))
+        vmask = jnp.broadcast_to(is_validation_frame, (rh, rw))
+        r_sampled = r_v.select(vmask, r_s)
+        sp_after = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                jnp.reshape(is_validation_frame, (1,) * a.ndim), a, b
+            ),
+            sp_v,
+            de_spatial_prev,
+        )
+    else:
+        r_sampled, sp_after = jax.lax.cond(
+            is_validation_frame,
+            lambda rr, sp: validation_branch(rr, sp),
+            lambda rr, sp: (sampling_branch(rr, jnp.ones((rh, rw), dtype=bool)), sp),
+            r,
+            de_spatial_prev,
+        )
     r = r_sampled
 
     # Finalize W, refresh visible surface, lifetime++ (light.wgsl:1216-1227).
@@ -477,6 +506,11 @@ def indirect_lit_pass(
             sample_emissive=scene.num_emissives > 0,
             trace_method=settings.tracer,
         )
+        # Secondary-vertex NEE geometry is detached: its pdf/position chain
+        # couples 1/d^2 x 1/cos x 1/det terms whose float32 backward
+        # overflows for grazing configurations; gradients keep flowing
+        # through the (dominant) primary-surface shading and radiometry.
+        candidate, cinfo = jax.lax.stop_gradient((candidate, cinfo))
         sample_directional = candidate.emissive_instance == NO_EMISSIVE
         nee_cond = (dot3(candidate.direction, info.normal) > 0.0) & (
             candidate.p > 0.0
@@ -511,7 +545,11 @@ def indirect_lit_pass(
             in_rad,
             scene.ambient_color,
         )
-        out_rad = out_rad / jnp.maximum(candidate.p[..., None], 1e-12)
+        from hikari_tpu.diff import clip_gradient
+
+        out_rad = clip_gradient(
+            out_rad / jnp.maximum(candidate.p[..., None], 1e-12), 1e3
+        )
         if n > 0:
             out_rad = jnp.where(
                 (pdf < 0.01)[..., None], 0.0, out_rad / jnp.maximum(pdf[..., None], 1e-6)
@@ -587,10 +625,13 @@ def indirect_lit_pass(
         s.radiance,
         scene.ambient_color,
     )
-    w_new = jnp.where(
-        first_pdf > 0.0,
-        luminance(sample_shaded) / jnp.maximum(first_pdf, 1e-12),
-        0.0,
+    w_new = clip_gradient(
+        jnp.where(
+            first_pdf > 0.0,
+            luminance(sample_shaded) / jnp.maximum(first_pdf, 1e-12),
+            0.0,
+        ),
+        1e6,
     )
     r = temporal_restir(r, s, w_new, settings.max_temporal_reuse_count)
 

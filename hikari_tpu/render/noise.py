@@ -61,9 +61,12 @@ def sample_noise(bank, frame_number: int | "jax.Array", coords_y, coords_x):
     repeat addressing + nearest filtering -> integer wrap."""
     import jax.numpy as jnp
 
+    from hikari_tpu.utils import gather_channels
+
     bank = jnp.asarray(bank)
     count, size = bank.shape[0], bank.shape[1]
     tex = jnp.mod(frame_number, count)
     y = jnp.mod(coords_y + frame_number, size)
     x = jnp.mod(coords_x + frame_number, size)
-    return bank[tex, y, x]
+    flat = bank.reshape(count * size * size, 4)
+    return gather_channels(flat, (tex * size + y) * size + x)

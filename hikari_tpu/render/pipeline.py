@@ -67,51 +67,85 @@ def render_frame(
         noise_bank = jnp.asarray(blue_noise_bank())
     frame_number = state.frame_number
 
+    # Pass-level rematerialization: under jax.grad each pass recomputes
+    # its forward in the backward sweep instead of saving every
+    # intermediate (HBM residuals at 1080p otherwise exceed chip memory).
+    # Hit records are tagged (trace/api.py) and stay saved so the backward
+    # sweep never replays the ray search itself.
+    _policy = jax.checkpoint_policies.save_only_these_names("trace_hits")
+
+    def ckpt(fn):
+        fn2 = jax.checkpoint(fn, policy=_policy) if settings.remat else fn
+
+        def wrapped(*args):
+            from hikari_tpu.diff import clip_gradient
+
+            out = fn2(*args)
+            # Gradient firewall at pass boundaries: scrub NaN and cap
+            # cotangents flowing between passes (MC estimator weights
+            # produce float32-overflowing local derivatives).
+            return jax.tree_util.tree_map(
+                lambda x: clip_gradient(x, 1e4)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                out,
+            )
+
+        return wrapped
+
     # ---- PREPASS (G-buffer by primary rays) ----
-    gbuffer = render_gbuffer(scene, camera, frame_number, settings)
+    gbuffer = ckpt(
+        lambda sc: render_gbuffer(sc, camera, frame_number, settings)
+    )(scene)
 
     # ---- LIGHT ----
-    albedo = full_screen_albedo(scene, camera, gbuffer)
+    albedo = ckpt(lambda sc: full_screen_albedo(sc, camera, gbuffer))(scene)
 
     de_spatial = state.de_spatial
-    direct_out, direct_var, direct_temporal, de_spatial, bg, _ = direct_lit_pass(
-        scene,
-        camera,
-        gbuffer,
-        state.direct_temporal,
-        de_spatial,
-        noise_bank,
-        frame_number,
-        settings,
-        emissive_lit=False,
-        render_emissive=True,
-    )
-
-    if settings.emissive_lit and scene.num_emissives > 0:
-        em_out, em_var, em_temporal, de_spatial, _, _ = direct_lit_pass(
-            scene,
+    direct_out, direct_var, direct_temporal, de_spatial, bg, _ = ckpt(
+        lambda sc, temporal, sp: direct_lit_pass(
+            sc,
             camera,
             gbuffer,
-            state.emissive_temporal,
-            de_spatial,
+            temporal,
+            sp,
             noise_bank,
             frame_number,
             settings,
-            emissive_lit=True,
-            render_emissive=False,
+            emissive_lit=False,
+            render_emissive=True,
         )
-        if settings.emissive_spatial_reuse:
-            em_out, em_var, de_spatial = spatial_reuse_pass(
-                scene,
+    )(scene, state.direct_temporal, de_spatial)
+
+    if settings.emissive_lit and scene.num_emissives > 0:
+        em_out, em_var, em_temporal, de_spatial, _, _ = ckpt(
+            lambda sc, temporal, sp: direct_lit_pass(
+                sc,
                 camera,
                 gbuffer,
-                em_temporal,
-                de_spatial,
-                em_var,
+                temporal,
+                sp,
+                noise_bank,
                 frame_number,
                 settings,
                 emissive_lit=True,
+                render_emissive=False,
             )
+        )(scene, state.emissive_temporal, de_spatial)
+        if settings.emissive_spatial_reuse:
+            em_out, em_var, de_spatial = ckpt(
+                lambda sc, temporal, sp, var: spatial_reuse_pass(
+                    sc,
+                    camera,
+                    gbuffer,
+                    temporal,
+                    sp,
+                    var,
+                    frame_number,
+                    settings,
+                    emissive_lit=True,
+                )
+            )(scene, em_temporal, de_spatial, em_var)
     else:
         rh, rw = settings.render_size
         em_out = jnp.zeros((rh, rw, 3))
@@ -127,28 +161,32 @@ def render_frame(
             indirect_spatial,
             _,
             _,
-        ) = indirect_lit_pass(
-            scene,
-            camera,
-            gbuffer,
-            state.indirect_temporal,
-            indirect_spatial,
-            noise_bank,
-            frame_number,
-            settings,
-        )
-        if settings.indirect_spatial_reuse:
-            ind_out, ind_var, indirect_spatial = spatial_reuse_pass(
-                scene,
+        ) = ckpt(
+            lambda sc, temporal, sp: indirect_lit_pass(
+                sc,
                 camera,
                 gbuffer,
-                ind_temporal,
-                indirect_spatial,
-                ind_var,
+                temporal,
+                sp,
+                noise_bank,
                 frame_number,
                 settings,
-                emissive_lit=False,
             )
+        )(scene, state.indirect_temporal, indirect_spatial)
+        if settings.indirect_spatial_reuse:
+            ind_out, ind_var, indirect_spatial = ckpt(
+                lambda sc, temporal, sp, var: spatial_reuse_pass(
+                    sc,
+                    camera,
+                    gbuffer,
+                    temporal,
+                    sp,
+                    var,
+                    frame_number,
+                    settings,
+                    emissive_lit=False,
+                )
+            )(scene, ind_temporal, indirect_spatial, ind_var)
     else:
         rh, rw = settings.render_size
         ind_out = jnp.zeros((rh, rw, 3))
@@ -165,7 +203,7 @@ def render_frame(
                 rad, var, albedo_rr, gbuffer, frame_number, settings
             )
         )
-        stacked = denoise3(
+        stacked = ckpt(denoise3)(
             jnp.stack([direct_out, em_out, ind_out]),
             jnp.stack([direct_var, em_var, ind_var]),
         )

@@ -212,12 +212,17 @@ def select_light_candidate(
     prim = scene.inst_prim_offset[em_inst] + local_prim
     prim = jnp.clip(prim, 0, scene.tri_world.shape[0] - 1)
 
-    # Barycentric point on the (world-space) triangle.
-    tv = jax.lax.stop_gradient(scene.tri_world)[prim]
+    # Barycentric point on the (world-space) triangle (component-major
+    # gather to avoid (R,3,3) tile padding — see gather_triangle_vertices).
+    from hikari_tpu.trace.api import gather_triangle_vertices
+
+    tv0, tv1, tv2 = gather_triangle_vertices(
+        jax.lax.stop_gradient(scene.tri_world), prim
+    )
     b = sample_uniform_triangle_barycentric(rand[..., 2:4])
     bx = b[..., 0:1]
     by = b[..., 1:2]
-    p_world = bx * tv[..., 0, :] + by * tv[..., 1, :] + (1.0 - bx - by) * tv[..., 2, :]
+    p_world = bx * tv0 + by * tv1 + (1.0 - bx - by) * tv2
 
     ray_origin = position + normal * RAY_BIAS
     ray_dir = safe_normalize(p_world - position)
@@ -255,6 +260,11 @@ def select_light_candidate(
         dot3(ray_dir, target.normal) * scene.em_surface_area[safe_em]
     )
     p_em = d2 / jnp.maximum(denom, 1e-12) / jnp.maximum(count, 1.0)
+    # Firewall: 1/p downstream turns tiny-p derivatives into float32
+    # overflow -> NaN; cap the cotangent (diff/clip_gradient).
+    from hikari_tpu.diff import clip_gradient
+
+    p_em = clip_gradient(p_em, 1e3)
 
     okf = ok[..., None]
     merged_info = HitInfo(
@@ -269,7 +279,7 @@ def select_light_candidate(
         max_distance=jnp.where(ok, hit.t, candidate.max_distance),
         min_distance=jnp.where(ok, hit.t - 0.1, candidate.min_distance),
         emissive_instance=jnp.where(ok, em_inst, NO_EMISSIVE).astype(jnp.int32),
-        p=jnp.where(ok, p_em, candidate.p),
+        p=clip_gradient(jnp.where(ok, p_em, candidate.p), 1e3),
     )
     return merged, merged_info
 

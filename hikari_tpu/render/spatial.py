@@ -89,6 +89,16 @@ def spatial_reuse_pass(
     background = depth < F32_EPSILON
     position = g.position[..., :3]
 
+    # Gradient/memory policy: the reuse loop operates on DETACHED reservoir
+    # data — reservoir selection and resampling weights are discrete
+    # estimator machinery (like the trace search), and differentiating the
+    # 16-tap fori_loop stacks ~(taps x H x W x C) residuals that exceed
+    # chip memory at 1080p. Material/light gradients still flow through
+    # the final differentiable shade below; the temporal channels carry
+    # the radiance-chain gradients.
+    temporal = jax.lax.stop_gradient(temporal)
+    spatial_prev = jax.lax.stop_gradient(spatial_prev)
+
     r = temporal  # load_reservoir(coords), light.wgsl:1520
     q0 = r
     s = q0.s
@@ -111,16 +121,20 @@ def spatial_reuse_pass(
 
     def target_p(sample, direction):
         if emissive_lit:
-            return luminance(sample.radiance[..., :3])
-        shaded = shading(
-            view,
-            s.visible_normal,
-            direction,
-            surface,
-            sample.radiance,
-            scene.ambient_color,
-        )
-        return luminance(shaded)
+            p = luminance(sample.radiance[..., :3])
+        else:
+            shaded = shading(
+                view,
+                s.visible_normal,
+                direction,
+                surface,
+                sample.radiance,
+                scene.ambient_color,
+            )
+            p = luminance(shaded)
+        # Resampling target weights are estimator machinery — detached so
+        # the fori_loop carry stays gradient-free (see policy note above).
+        return jax.lax.stop_gradient(p)
 
     self_dir = safe_normalize(s.sample_position[..., :3] - s.visible_position[..., :3])
     r = merge_reservoir(r, q0, target_p(q0.s, self_dir))

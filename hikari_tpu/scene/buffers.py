@@ -42,6 +42,15 @@ class SceneBuffers:
     tri_world: jax.Array  # (P, 3, 3) f32 — differentiable geometry leaf
     tri_vidx: jax.Array  # (P, 3) i32
     tri_inst: jax.Array  # (P,) i32
+    # precomputed plane/dual-basis form for the MXU intersection path
+    # (trace/intersect.py precompute_triangles); detached search data.
+    tri_n: jax.Array  # (P, 3)
+    tri_eu: jax.Array  # (P, 3)
+    tri_ev: jax.Array  # (P, 3)
+    tri_cn: jax.Array  # (P,)
+    tri_cu: jax.Array  # (P,)
+    tri_cv: jax.Array  # (P,)
+    tri_valid: jax.Array  # (P,) bool
     # vertex attributes
     vert_normal: jax.Array  # (V, 3)
     vert_uv: jax.Array  # (V, 2)
@@ -68,6 +77,13 @@ class SceneBuffers:
     mat_perceptual_roughness: jax.Array
     mat_metallic: jax.Array
     mat_reflectance: jax.Array
+    # texture ids (-1 = none) + uniform texture stack (T, S, S, 4)
+    mat_base_color_texture: jax.Array
+    mat_emissive_texture: jax.Array
+    mat_metallic_roughness_texture: jax.Array
+    mat_normal_map_texture: jax.Array
+    mat_occlusion_texture: jax.Array
+    textures: jax.Array
     # emissives
     em_emissive: jax.Array
     em_position: jax.Array
@@ -94,6 +110,7 @@ class SceneBuffers:
     num_emissives: int = static_field()
     num_enodes: int = static_field()
     num_materials: int = static_field()
+    num_textures: int = static_field()
 
 
 def _pad(arr: np.ndarray, n: int, fill=0) -> np.ndarray:
@@ -129,10 +146,22 @@ def to_device(
     def dev(x):
         return jnp.asarray(x)
 
+    from hikari_tpu.trace.intersect import precompute_triangles
+
+    tri_padded = _pad(arrays.tri_world, p)
+    pre = jax.jit(precompute_triangles)(jnp.asarray(tri_padded))
+
     return SceneBuffers(
-        tri_world=dev(_pad(arrays.tri_world, p)),
+        tri_world=dev(tri_padded),
         tri_vidx=dev(_pad(arrays.tri_vidx, p)),
         tri_inst=dev(_pad(arrays.tri_inst, p, fill=-1)),
+        tri_n=pre["n"],
+        tri_eu=pre["eu"],
+        tri_ev=pre["ev"],
+        tri_cn=pre["cn"],
+        tri_cu=pre["cu"],
+        tri_cv=pre["cv"],
+        tri_valid=pre["valid"],
         vert_normal=dev(_pad(arrays.vert_normal, v)),
         vert_uv=dev(_pad(arrays.vert_uv, v)),
         node_min=dev(_pad(arrays.node_min, n)),
@@ -155,6 +184,12 @@ def to_device(
         mat_perceptual_roughness=dev(arrays.mat_perceptual_roughness),
         mat_metallic=dev(arrays.mat_metallic),
         mat_reflectance=dev(arrays.mat_reflectance),
+        mat_base_color_texture=dev(arrays.mat_base_color_texture),
+        mat_emissive_texture=dev(arrays.mat_emissive_texture),
+        mat_metallic_roughness_texture=dev(arrays.mat_metallic_roughness_texture),
+        mat_normal_map_texture=dev(arrays.mat_normal_map_texture),
+        mat_occlusion_texture=dev(arrays.mat_occlusion_texture),
+        textures=dev(arrays.textures),
         em_emissive=dev(_pad(arrays.em_emissive, e)),
         em_position=dev(_pad(arrays.em_position, e)),
         em_radius=dev(_pad(arrays.em_radius, e)),
@@ -177,6 +212,7 @@ def to_device(
         num_emissives=num_em,
         num_enodes=num_enodes,
         num_materials=num_mats,
+        num_textures=len(arrays.textures),
     )
 
 

@@ -91,6 +91,8 @@ class Scene:
     meshes: list = field(default_factory=list)
     materials: list = field(default_factory=list)
     instances: list = field(default_factory=list)
+    # raw texture images (numpy (h,w,3|4)); Material.*_texture index here
+    textures: list = field(default_factory=list)
     directional_light: DirectionalLight = field(default_factory=DirectionalLight)
     # Premultiplied ambient (Bevy AmbientLight color*brightness default 0.05).
     ambient_color: tuple = (0.05, 0.05, 0.05)
@@ -106,6 +108,10 @@ class Scene:
     def add_instance(self, inst: Instance) -> int:
         self.instances.append(inst)
         return len(self.instances) - 1
+
+    def add_texture(self, image) -> int:
+        self.textures.append(image)
+        return len(self.textures) - 1
 
 
 # ---------------------------------------------------------------------------
@@ -152,6 +158,12 @@ class SceneArrays:
     mat_perceptual_roughness: np.ndarray  # (M,)
     mat_metallic: np.ndarray  # (M,)
     mat_reflectance: np.ndarray  # (M,)
+    mat_base_color_texture: np.ndarray  # (M,) i32, -1 = none
+    mat_emissive_texture: np.ndarray  # (M,)
+    mat_metallic_roughness_texture: np.ndarray  # (M,)
+    mat_normal_map_texture: np.ndarray  # (M,)
+    mat_occlusion_texture: np.ndarray  # (M,)
+    textures: np.ndarray  # (T, S, S, 4) f32 stack (T=0 -> no textures)
 
     # emissives + light BVH + alias tables
     em_emissive: np.ndarray  # (E, 4)
@@ -172,6 +184,14 @@ class SceneArrays:
     sun_direction_to_light: np.ndarray  # (3,)
     sun_color: np.ndarray  # (3,)
     ambient_color: np.ndarray  # (3,)
+
+
+def _build_texture_stack(scene: Scene) -> np.ndarray:
+    if not scene.textures:
+        return np.zeros((0, 1, 1, 4), dtype=np.float32)
+    from hikari_tpu.render.texture import resample_to_stack
+
+    return resample_to_stack(scene.textures)
 
 
 def compile_scene(scene: Scene) -> SceneArrays:
@@ -353,6 +373,22 @@ def compile_scene(scene: Scene) -> SceneArrays:
         ),
         mat_metallic=np.asarray([m.metallic for m in mats], dtype=np.float32),
         mat_reflectance=np.asarray([m.reflectance for m in mats], dtype=np.float32),
+        mat_base_color_texture=np.asarray(
+            [m.base_color_texture for m in mats], dtype=np.int32
+        ),
+        mat_emissive_texture=np.asarray(
+            [m.emissive_texture for m in mats], dtype=np.int32
+        ),
+        mat_metallic_roughness_texture=np.asarray(
+            [m.metallic_roughness_texture for m in mats], dtype=np.int32
+        ),
+        mat_normal_map_texture=np.asarray(
+            [m.normal_map_texture for m in mats], dtype=np.int32
+        ),
+        mat_occlusion_texture=np.asarray(
+            [m.occlusion_texture for m in mats], dtype=np.int32
+        ),
+        textures=_build_texture_stack(scene),
         em_emissive=np.asarray(em_emissive, dtype=np.float32).reshape(-1, 4),
         em_position=em_position_a,
         em_radius=em_radius_a,

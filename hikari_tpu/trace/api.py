@@ -31,10 +31,15 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from hikari_tpu.config import DISTANCE_MAX, F32_MAX
 from hikari_tpu.scene.buffers import SceneBuffers
-from hikari_tpu.trace.intersect import intersects_aabb, intersects_triangle
+from hikari_tpu.trace.intersect import (
+    intersect_precomputed,
+    intersects_aabb,
+    intersects_triangle,
+)
 from hikari_tpu.utils import dot3, safe_normalize
 
 TRI_BLOCK = 256  # triangles per brute-force inner block
@@ -74,14 +79,19 @@ def trace_rays(
     primitive id range [range_lo, range_hi) restricting the query to one
     instance's triangles. Returns a Hit with the ray's leading shape."""
     shape = origin.shape[:-1]
-    o = origin.reshape(-1, 3)
-    d = direction.reshape(-1, 3)
+    # The search is entirely non-differentiable: hits are integer topology
+    # plus detached (t,u,v); ``refine_hit`` recomputes differentiable
+    # values at the fixed hit triangle. Detaching the rays here keeps
+    # autodiff from saving the search's scan intermediates (1080p: ~1 GB
+    # per stacked residual).
+    o = jax.lax.stop_gradient(origin.reshape(-1, 3))
+    d = jax.lax.stop_gradient(direction.reshape(-1, 3))
     R = o.shape[0]
 
     def per_ray(x, default):
         if x is None:
             return jnp.full((R,), default)
-        return jnp.broadcast_to(x, shape).reshape(-1)
+        return jax.lax.stop_gradient(jnp.broadcast_to(x, shape).reshape(-1))
 
     maxd = per_ray(max_distance, F32_MAX).astype(jnp.float32)
     excl = per_ray(exclude_instance, -1).astype(jnp.int32)
@@ -113,6 +123,9 @@ def trace_rays(
 # ---------------------------------------------------------------------------
 
 
+RAY_CHUNK = 8192  # rays per brute-force outer chunk (bounds intermediates)
+
+
 def _trace_bruteforce(scene, o, d, maxd, excl, lo, hi):
     P = scene.tri_world.shape[0]
     R = o.shape[0]
@@ -120,51 +133,112 @@ def _trace_bruteforce(scene, o, d, maxd, excl, lo, hi):
     block = min(block, P)
     n_blocks = -(-P // block)
 
-    tri = jax.lax.stop_gradient(scene.tri_world)
     tri_inst = scene.tri_inst
+    # Precomputed plane/dual-basis form: the heavy per-pair work becomes
+    # two (C,3)@(3,3B) contractions (MXU) + light elementwise
+    # (trace/intersect.py precompute_triangles).
+    pre = dict(
+        n=jax.lax.stop_gradient(scene.tri_n),
+        eu=jax.lax.stop_gradient(scene.tri_eu),
+        ev=jax.lax.stop_gradient(scene.tri_ev),
+        cn=jax.lax.stop_gradient(scene.tri_cn),
+        cu=jax.lax.stop_gradient(scene.tri_cu),
+        cv=jax.lax.stop_gradient(scene.tri_cv),
+        valid=scene.tri_valid,
+    )
 
-    def body(carry, block_idx):
-        best_t, best_prim, best_u, best_v = carry
-        start = block_idx * block
-        tb = jax.lax.dynamic_slice_in_dim(tri, start, block, axis=0)
-        ib = jax.lax.dynamic_slice_in_dim(tri_inst, start, block, axis=0)
-        prim_ids = start + jnp.arange(block, dtype=jnp.int32)
+    def chunk_fn(args):
+        oc, dc, maxdc, exclc, loc, hic = args
+        C = oc.shape[0]
 
-        t, u, v = intersects_triangle(
-            o[:, None, :],
-            d[:, None, :],
-            tb[None, :, 0, :],
-            tb[None, :, 1, :],
-            tb[None, :, 2, :],
-        )  # (R, B)
-        valid = (
-            (t < maxd[:, None])
-            & (ib[None, :] != excl[:, None])
-            & (prim_ids[None, :] >= lo[:, None])
-            & (prim_ids[None, :] < hi[:, None])
+        def body(carry, block_idx):
+            best_t, best_prim, best_u, best_v = carry
+            start = block_idx * block
+            ib = jax.lax.dynamic_slice_in_dim(tri_inst, start, block, axis=0)
+            prim_ids = start + jnp.arange(block, dtype=jnp.int32)
+
+            blk = {
+                k: jax.lax.dynamic_slice_in_dim(pre[k], start, block, axis=0)
+                for k in pre
+            }
+            t, u, v = intersect_precomputed(oc, dc, blk, slice(None))  # (C, B)
+            valid = (
+                (t < maxdc[:, None])
+                & (ib[None, :] != exclc[:, None])
+                & (prim_ids[None, :] >= loc[:, None])
+                & (prim_ids[None, :] < hic[:, None])
+            )
+            t = jnp.where(valid, t, F32_MAX)
+            blk_best = jnp.argmin(t, axis=1)  # (C,)
+            r = jnp.arange(C)
+            bt = t[r, blk_best]
+            better = bt < best_t
+            best_prim = jnp.where(better, prim_ids[blk_best], best_prim)
+            best_u = jnp.where(better, u[r, blk_best], best_u)
+            best_v = jnp.where(better, v[r, blk_best], best_v)
+            best_t = jnp.where(better, bt, best_t)
+            return (best_t, best_prim, best_u, best_v), None
+
+        init = (
+            jnp.minimum(maxdc, F32_MAX),
+            jnp.full((C,), -1, dtype=jnp.int32),
+            jnp.zeros((C,)),
+            jnp.zeros((C,)),
         )
-        t = jnp.where(valid, t, F32_MAX)
-        blk_best = jnp.argmin(t, axis=1)  # (R,)
-        r = jnp.arange(R)
-        bt = t[r, blk_best]
-        better = bt < best_t
-        best_prim = jnp.where(better, prim_ids[blk_best], best_prim)
-        best_u = jnp.where(better, u[r, blk_best], best_u)
-        best_v = jnp.where(better, v[r, blk_best], best_v)
-        best_t = jnp.where(better, bt, best_t)
-        return (best_t, best_prim, best_u, best_v), None
+        (t, prim, u, v), _ = jax.lax.scan(
+            body, init, jnp.arange(n_blocks, dtype=jnp.int32)
+        )
+        return t, prim, u, v
 
-    init = (
-        jnp.minimum(maxd, F32_MAX),
-        jnp.full((R,), -1, dtype=jnp.int32),
-        jnp.zeros((R,)),
-        jnp.zeros((R,)),
-    )
-    (t, prim, u, v), _ = jax.lax.scan(
-        body, init, jnp.arange(n_blocks, dtype=jnp.int32)
-    )
+    if R <= RAY_CHUNK:
+        t, prim, u, v = chunk_fn((o, d, maxd, excl, lo, hi))
+    else:
+        # Chunk rays so the (rays x tri-block) intermediates stay bounded.
+        # Explicit scan + dynamic slices (NOT lax.map over stacked inputs:
+        # XLA hoists/batches stacked map intermediates into
+        # (chunks, rays, block) temporaries that blow past HBM at 1080p).
+        n_chunks = -(-R // RAY_CHUNK)
+        Rp = n_chunks * RAY_CHUNK
+
+        def pad(x, fill=0):
+            return jnp.concatenate(
+                [x, jnp.full((Rp - R,) + x.shape[1:], fill, dtype=x.dtype)]
+            )
+
+        op, dp, maxdp = pad(o), pad(d, 1.0), pad(maxd)
+        exclp, lop, hip = pad(excl, -1), pad(lo), pad(hi)
+
+        def chunk_body(carry, ci):
+            to, po, uo, vo = carry
+            s = ci * RAY_CHUNK
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, s, RAY_CHUNK)
+            tc, pc, uc, vc = chunk_fn(
+                (sl(op), sl(dp), sl(maxdp), sl(exclp), sl(lop), sl(hip))
+            )
+            to = jax.lax.dynamic_update_slice_in_dim(to, tc, s, 0)
+            po = jax.lax.dynamic_update_slice_in_dim(po, pc, s, 0)
+            uo = jax.lax.dynamic_update_slice_in_dim(uo, uc, s, 0)
+            vo = jax.lax.dynamic_update_slice_in_dim(vo, vc, s, 0)
+            return (to, po, uo, vo), None
+
+        init = (
+            jnp.zeros((Rp,)),
+            jnp.full((Rp,), -1, dtype=jnp.int32),
+            jnp.zeros((Rp,)),
+            jnp.zeros((Rp,)),
+        )
+        (t, prim, u, v), _ = jax.lax.scan(
+            chunk_body, init, jnp.arange(n_chunks, dtype=jnp.int32)
+        )
+        t, prim, u, v = t[:R], prim[:R], u[:R], v[:R]
+
     inst = jnp.where(prim >= 0, scene.tri_inst[jnp.maximum(prim, 0)], -1)
-    return Hit(t=t, prim=prim, inst=inst.astype(jnp.int32), u=u, v=v)
+    hit = Hit(t=t, prim=prim, inst=inst.astype(jnp.int32), u=u, v=v)
+    # Name the (small) hit record so pass-level remat can save it instead
+    # of replaying the search in the backward sweep.
+    return jax.tree_util.tree_map(
+        lambda x: checkpoint_name(x, "trace_hits"), hit
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -211,8 +285,8 @@ def _trace_bvh(scene, o, d, maxd, early, excl, lo, hi):
         is_leaf = entry < 0
         prim_id = -entry - 1
         safe_prim = jnp.clip(prim_id, 0, tri.shape[0] - 1)
-        tv = tri[safe_prim]
-        t, u, v = intersects_triangle(o, d, tv[:, 0], tv[:, 1], tv[:, 2])
+        tv0, tv1, tv2 = gather_triangle_vertices(tri, safe_prim)
+        t, u, v = intersects_triangle(o, d, tv0, tv1, tv2)
         # Exclusion applies only to tagged (instance) nodes: untagged nodes
         # carry inst == -1 which must never match the "no exclusion"
         # sentinel (-1).
@@ -256,16 +330,39 @@ def _trace_bvh(scene, o, d, maxd, early, excl, lo, hi):
 # ---------------------------------------------------------------------------
 
 
+def gather_triangle_vertices(tri_world, prim):
+    """Gather hit-triangle vertices component-major: indexing (P,3,3) by a
+    pixel grid makes XLA materialize a (R,3,3) tile-padded ~50x on TPU
+    (~4 GB at 1080p); gathering from the (9, P) transpose keeps the lane
+    dimension on pixels (no padding). Differentiable.
+    Returns (v0, v1, v2), each (..., 3)."""
+    P = tri_world.shape[0]
+    tw = tri_world.reshape(P, 9).T  # (9, P)
+    comps = tw[:, prim]  # (9, ...)
+    v = jnp.moveaxis(comps, 0, -1)  # (..., 9)
+    return v[..., 0:3], v[..., 3:6], v[..., 6:9]
+
+
 def refine_hit(scene: SceneBuffers, origin, direction, hit: Hit):
     """Recompute (t, u, v) differentiably at the fixed hit triangle — the
     fixed-topology gradient path. Returns (t, u, v) equal in value to the
     traced result but connected to ``scene.tri_world`` in the autodiff
     graph. Misses keep their sentinel values (detached)."""
+    from hikari_tpu.diff import clip_gradient
+
     safe_prim = jnp.maximum(hit.prim, 0)
-    tv = scene.tri_world[safe_prim]  # differentiable gather
-    t, u, v = intersects_triangle(
-        origin, direction, tv[..., 0, :], tv[..., 1, :], tv[..., 2, :]
-    )
+    v0, v1, v2 = gather_triangle_vertices(scene.tri_world, safe_prim)
+    # Firewall on both sides of the refine math: miss-pixel refinement
+    # evaluates a clamped triangle at DISTANCE_MAX-scale origins whose
+    # float32 partials can overflow; bound + scrub cotangents so
+    # estimator-weight chains can't push NaN into the vertex buffer.
+    v0 = clip_gradient(v0, 1e6)
+    v1 = clip_gradient(v1, 1e6)
+    v2 = clip_gradient(v2, 1e6)
+    t, u, v = intersects_triangle(origin, direction, v0, v1, v2)
+    t = clip_gradient(t, 1e4)
+    u = clip_gradient(u, 1e4)
+    v = clip_gradient(v, 1e4)
     miss = hit.prim < 0
     t = jnp.where(miss, hit.t, t)
     u = jnp.where(miss, hit.u, u)
@@ -293,13 +390,15 @@ def hit_info(scene: SceneBuffers, origin, direction, hit: Hit) -> HitInfo:
     (differentiably refined) distance."""
     t, u, v = refine_hit(scene, origin, direction, hit)
     safe_prim = jnp.maximum(hit.prim, 0)
-    vidx = scene.tri_vidx[safe_prim]  # (..., 3)
-    n0 = scene.vert_normal[vidx[..., 0]]
-    n1 = scene.vert_normal[vidx[..., 1]]
-    n2 = scene.vert_normal[vidx[..., 2]]
-    uv0 = scene.vert_uv[vidx[..., 0]]
-    uv1 = scene.vert_uv[vidx[..., 1]]
-    uv2 = scene.vert_uv[vidx[..., 2]]
+    from hikari_tpu.utils import gather_channels
+
+    vidx = gather_channels(scene.tri_vidx, safe_prim)  # (..., 3)
+    n0 = gather_channels(scene.vert_normal, vidx[..., 0])
+    n1 = gather_channels(scene.vert_normal, vidx[..., 1])
+    n2 = gather_channels(scene.vert_normal, vidx[..., 2])
+    uv0 = gather_channels(scene.vert_uv, vidx[..., 0])
+    uv1 = gather_channels(scene.vert_uv, vidx[..., 1])
+    uv2 = gather_channels(scene.vert_uv, vidx[..., 2])
     uu = u[..., None]
     vv = v[..., None]
     normal = n0 + uu * (n1 - n0) + vv * (n2 - n0)

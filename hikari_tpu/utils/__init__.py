@@ -33,15 +33,18 @@ def dot3(a, b):
 
 def normalize(v, eps: float = 0.0):
     """Normalize last axis. With eps=0 mirrors WGSL ``normalize``
-    (undefined on zero vectors — produces inf/nan like the GPU would)."""
-    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    (undefined on zero vectors — produces inf/nan like the GPU would).
+    With eps>0 the guard goes INSIDE the sqrt: ``sqrt(max(|v|^2, eps^2))``
+    — guarding after (``max(sqrt(n2), eps)``) leaves d(sqrt)/d(n2) = inf
+    at n2 = 0, and 0 * inf = NaN in the backward pass."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
     if eps:
-        n = jnp.maximum(n, eps)
-    return v / n
+        n2 = jnp.maximum(n2, eps * eps)
+    return v / jnp.sqrt(n2)
 
 
 def safe_normalize(v):
-    return normalize(v, eps=1e-20)
+    return normalize(v, eps=1e-18)
 
 
 def length(v):
@@ -168,6 +171,40 @@ ATROUS_KERNEL = np.array(
 
 # 16 Halton(2,3) jitter points (reference src/view.rs:130-139, HALTON const).
 HALTON_JITTER = halton23_sequence(16)
+
+
+def gather_channels(table, idx):
+    """Gather rows of ``table`` (N,) or (N, C) at ``idx`` (...,) via
+    per-channel scalar-plane gathers. A direct ``table[idx]`` makes XLA
+    materialize an (R, C) gather result whose minor dim tile-pads to 128
+    lanes on TPU (32-40x memory blowup at 1080p); gathering each channel
+    as a flat (N,) plane keeps the lane dimension on pixels. The channel
+    slice happens BEFORE flattening so no minor-C table materializes."""
+    idx = jnp.asarray(idx)
+    if table.ndim == 1:
+        return table[idx]
+    return jnp.stack(
+        [table[..., c].reshape(-1)[idx.reshape(-1)].reshape(idx.shape)
+         for c in range(table.shape[-1])],
+        axis=-1,
+    )
+
+
+def gather_pixels(img, y, x):
+    """Gather image texels: img (H, W) or (H, W, C) at integer grids
+    y/x (...,) -> (...,) or (..., C), channel-major (see gather_channels)."""
+    h, w = img.shape[0], img.shape[1]
+    flat_idx = (y * w + x).reshape(-1)
+    out_shape = jnp.shape(y)
+    if img.ndim == 2:
+        return img.reshape(h * w)[flat_idx].reshape(out_shape)
+    return jnp.stack(
+        [
+            img[..., c].reshape(h * w)[flat_idx].reshape(out_shape)
+            for c in range(img.shape[-1])
+        ],
+        axis=-1,
+    )
 
 
 def rgb_to_ycocg(rgb):

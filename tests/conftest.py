@@ -24,6 +24,17 @@ try:
 except Exception:
     pass  # XLA_FLAGS fallback above covers older jax
 
+# Persistent compilation cache: the pipeline graphs take minutes to compile
+# on CPU; cache across test runs.
+_cache_dir = os.path.expanduser("~/.cache/hikari_tpu_jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:
+    pass
+
 import numpy as np
 import pytest
 

@@ -16,10 +16,15 @@ from hikari_tpu.scene import build_scene_buffers
 
 @pytest.fixture(scope="module")
 def setup():
+    """Spatial reuse disabled: the spatial pass detaches reservoir reuse
+    (estimator machinery, see render/spatial.py policy note), so AD-vs-FD
+    comparisons must run on the fully differentiable temporal path. The
+    full-default config (spatial on) is covered by the finiteness test."""
     scene, cam, _ = cornell_config(size=24)
     settings = RenderSettings(
         width=24, height=24, upscale=Upscale.none(), denoise=True,
-        taa=Taa.NONE, indirect_bounces=1,
+        taa=Taa.NONE, indirect_bounces=1, indirect_spatial_reuse=False,
+        emissive_spatial_reuse=False,
     )
     buffers = build_scene_buffers(scene)
     state = initial_state(settings)
@@ -86,9 +91,14 @@ def test_emissive_grads_match_fd(setup):
 
 
 def test_full_pipeline_grads_finite(setup):
-    """Full pipeline (ReSTIR + denoise): gradients must be finite and
-    nonzero even where FD is not meaningful."""
-    buffers, cam, state, settings = setup
+    """Full pipeline (ReSTIR + spatial reuse + denoise): gradients must be
+    finite and nonzero even where FD is not meaningful."""
+    buffers, cam, state, _ = setup
+    settings = RenderSettings(
+        width=24, height=24, upscale=Upscale.none(), denoise=True,
+        taa=Taa.NONE, indirect_bounces=1,
+    )
+    state = initial_state(settings)
     for field in ["mat_emissive", "mat_base_color"]:
         f = _loss_fn(buffers, cam, state, settings, field)
         g = np.asarray(jax.jit(jax.grad(f))(getattr(buffers, field)))
