@@ -74,13 +74,16 @@ def render_frame(
     # sweep never replays the ray search itself.
     _policy = jax.checkpoint_policies.save_only_these_names("trace_hits")
 
-    def ckpt(fn):
+    def ckpt(fn, name="pass"):
         fn2 = jax.checkpoint(fn, policy=_policy) if settings.remat else fn
 
         def wrapped(*args):
             from hikari_tpu.diff import clip_gradient
 
-            out = fn2(*args)
+            # named_scope labels each pass in HLO/profiles — the analogue
+            # of the reference's info_span! tracing (src/prepass.rs:789).
+            with jax.named_scope(name):
+                out = fn2(*args)
             # Gradient firewall at pass boundaries: scrub NaN and cap
             # cotangents flowing between passes (MC estimator weights
             # produce float32-overflowing local derivatives).
@@ -95,11 +98,14 @@ def render_frame(
 
     # ---- PREPASS (G-buffer by primary rays) ----
     gbuffer = ckpt(
-        lambda sc: render_gbuffer(sc, camera, frame_number, settings)
+        lambda sc: render_gbuffer(sc, camera, frame_number, settings),
+        "prepass",
     )(scene)
 
     # ---- LIGHT ----
-    albedo = ckpt(lambda sc: full_screen_albedo(sc, camera, gbuffer))(scene)
+    albedo = ckpt(
+        lambda sc: full_screen_albedo(sc, camera, gbuffer), "albedo"
+    )(scene)
 
     de_spatial = state.de_spatial
     direct_out, direct_var, direct_temporal, de_spatial, bg, _ = ckpt(
@@ -114,7 +120,8 @@ def render_frame(
             settings,
             emissive_lit=False,
             render_emissive=True,
-        )
+        ),
+        "direct_lit",
     )(scene, state.direct_temporal, de_spatial)
 
     if settings.emissive_lit and scene.num_emissives > 0:
@@ -130,7 +137,8 @@ def render_frame(
                 settings,
                 emissive_lit=True,
                 render_emissive=False,
-            )
+            ),
+            "emissive_lit",
         )(scene, state.emissive_temporal, de_spatial)
         if settings.emissive_spatial_reuse:
             em_out, em_var, de_spatial = ckpt(
@@ -144,7 +152,8 @@ def render_frame(
                     frame_number,
                     settings,
                     emissive_lit=True,
-                )
+                ),
+                "emissive_spatial",
             )(scene, em_temporal, de_spatial, em_var)
     else:
         rh, rw = settings.render_size
@@ -171,7 +180,8 @@ def render_frame(
                 noise_bank,
                 frame_number,
                 settings,
-            )
+            ),
+            "indirect_lit",
         )(scene, state.indirect_temporal, indirect_spatial)
         if settings.indirect_spatial_reuse:
             ind_out, ind_var, indirect_spatial = ckpt(
@@ -185,7 +195,8 @@ def render_frame(
                     frame_number,
                     settings,
                     emissive_lit=False,
-                )
+                ),
+                "indirect_spatial",
             )(scene, ind_temporal, indirect_spatial, ind_var)
     else:
         rh, rw = settings.render_size
@@ -203,7 +214,7 @@ def render_frame(
                 rad, var, albedo_rr, gbuffer, frame_number, settings
             )
         )
-        stacked = ckpt(denoise3)(
+        stacked = ckpt(denoise3, "denoise")(
             jnp.stack([direct_out, em_out, ind_out]),
             jnp.stack([direct_var, em_var, ind_var]),
         )
