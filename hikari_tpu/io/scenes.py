@@ -199,7 +199,8 @@ def simple_config(width: int = 512, height: int = 512):
 
 def gltf_scene(name: str = "FlightHelmet") -> Scene:
     """reference examples/scene.rs loads a glTF scene; we use the same
-    reference assets when present."""
+    reference assets when present (the City checkout ships textures but no
+    geometry .bin, so it falls back to the procedural city)."""
     candidates = {
         "FlightHelmet": "models/FlightHelmet/FlightHelmet.gltf",
         "City": "models/City/scene.gltf",
@@ -213,9 +214,57 @@ def gltf_scene(name: str = "FlightHelmet") -> Scene:
     if os.path.exists(path):
         from hikari_tpu.io.gltf import load_gltf
 
-        return load_gltf(path, scene)
-    # Fallback: cornell replica.
+        try:
+            return load_gltf(path, scene)
+        except (FileNotFoundError, OSError, KeyError):
+            pass  # incomplete asset checkout -> procedural fallback
+    if name == "City":
+        return procedural_city(scene)
     return _procedural_cornell(scene)
+
+
+def procedural_city(scene: Scene, blocks: int = 8, seed: int = 7) -> Scene:
+    """Large-scene stand-in for the City config: a grid of buildings with
+    varied heights, a ground plane, street lamps (emissive spheres), and a
+    sun — thousands of triangles exercising the stackless BVH tracer."""
+    rng = np.random.default_rng(seed)
+    ground = scene.add_material(Material(base_color=(0.25, 0.25, 0.27, 1.0)))
+    lamp = scene.add_material(
+        Material(base_color=(1, 1, 1, 1), emissive=(1.0, 0.9, 0.7, 0.3))
+    )
+    plane = scene.add_mesh(plane_mesh(1.0))
+    box = scene.add_mesh(cube_mesh(1.0))
+    sphere = scene.add_mesh(uv_sphere_mesh(1.0, 12, 6))
+
+    size = blocks * 12.0
+    scene.add_instance(
+        Instance(plane, ground, _transform((0, 0, 0), None, (size, 1.0, size)))
+    )
+    for i in range(blocks):
+        for j in range(blocks):
+            x = (i - blocks / 2 + 0.5) * 12.0
+            z = (j - blocks / 2 + 0.5) * 12.0
+            h = float(rng.uniform(4.0, 20.0))
+            w = float(rng.uniform(4.0, 8.0))
+            c = rng.uniform(0.3, 0.8, size=3)
+            mat = scene.add_material(
+                Material(
+                    base_color=(float(c[0]), float(c[1]), float(c[2]), 1.0),
+                    perceptual_roughness=float(rng.uniform(0.3, 0.9)),
+                )
+            )
+            scene.add_instance(
+                Instance(box, mat, _transform((x, h / 2, z), None, (w, h, w)))
+            )
+            if (i + j) % 3 == 0:
+                scene.add_instance(
+                    Instance(
+                        sphere,
+                        lamp,
+                        _transform((x + 6.0, 3.0, z), None, (0.3, 0.3, 0.3)),
+                    )
+                )
+    return scene
 
 
 def scene_config(width: int = 512, height: int = 512):

@@ -106,6 +106,8 @@ def trace_rays(
     elif method == "bvh":
         early = per_ray(early_distance, 0.0).astype(jnp.float32)
         hit = _trace_bvh(scene, o, d, maxd, early, excl, lo, hi)
+    elif method == "pallas":
+        hit = _trace_pallas(scene, o, d, maxd, excl, lo, hi)
     else:
         raise ValueError(f"unknown trace method {method!r}")
 
@@ -239,6 +241,43 @@ def _trace_bruteforce(scene, o, d, maxd, excl, lo, hi):
     return jax.tree_util.tree_map(
         lambda x: checkpoint_name(x, "trace_hits"), hit
     )
+
+
+def _trace_pallas(scene, o, d, maxd, excl, lo, hi):
+    """Hand-written Pallas kernel backend (trace/pallas_kernel.py):
+    VMEM-resident triangle table, ray blocks on the grid. Interpreted on
+    non-TPU backends (correctness testing)."""
+    from hikari_tpu.trace.pallas_kernel import (
+        RAY_BLOCK,
+        pack_triangles,
+        trace_pallas,
+    )
+
+    R = o.shape[0]
+    Rp = -(-R // RAY_BLOCK) * RAY_BLOCK
+
+    def pad(x, fill=0.0):
+        if Rp == R:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((Rp - R,) + x.shape[1:], fill, dtype=x.dtype)]
+        )
+
+    packed = pack_triangles(scene)
+    interpret = jax.default_backend() != "tpu"
+    t, prim, u, v = trace_pallas(
+        packed,
+        pad(o),
+        pad(d, 1.0),
+        pad(maxd),
+        pad(excl, -1),
+        pad(lo),
+        pad(hi, 0),
+        interpret=interpret,
+    )
+    t, prim, u, v = t[:R], prim[:R], u[:R], v[:R]
+    inst = jnp.where(prim >= 0, scene.tri_inst[jnp.maximum(prim, 0)], -1)
+    return Hit(t=t, prim=prim, inst=inst.astype(jnp.int32), u=u, v=v)
 
 
 # ---------------------------------------------------------------------------
