@@ -42,7 +42,20 @@ def rays_per_frame(settings, scene_buffers) -> float:
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: first compile of the 1080p train step
+    # through the remote-TPU tunnel takes ~10 min; cached runs start fast.
+    cache = os.path.expanduser("~/.cache/hikari_tpu_jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from hikari_tpu.config import Upscale
