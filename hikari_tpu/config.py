@@ -101,6 +101,15 @@ class RenderSettings:
 
     # --- pipeline-specialization analogues (reference shader defs) ---
     firefly_filtering: bool = True  # FIREFLY_FILTERING, src/post_process.rs:386
+    # HDR output path: undo the display tonemap like the reference overlay
+    # (inverse Reinhard, src/shaders/overlay.wgsl:27-46) so downstream HDR
+    # post (bloom) operates on linear radiance.
+    hdr: bool = False
+    # Bevy's BloomNode is chained after the reference overlay
+    # (src/lib.rs:332-365); enabled by the HDR example scenes.
+    bloom: bool = False
+    bloom_threshold: float = 1.0
+    bloom_intensity: float = 0.15
     emissive_lit: bool = True  # run the EMISSIVE_LIT channel, src/light.rs:418
     # render direct sun channel with surface emissive added (RENDER_EMISSIVE)
     # is derived: the channel that runs *last* among direct/emissive adds it.

@@ -261,8 +261,22 @@ def render_frame(
             current, settings.output_size, settings.upscale.sharpness
         )
 
-    # ---- OVERLAY (NaN -> albedo fallback, src/shaders/overlay.wgsl:42) ----
+    # ---- OVERLAY (NaN -> albedo fallback, src/shaders/overlay.wgsl:42;
+    # HDR inverse-Reinhard :27-46) + chained Bloom (src/lib.rs:332-365) ----
     image = current
+    if settings.hdr:
+        from hikari_tpu.render.tonemap import inverse_reinhard_luminance
+
+        image = jnp.concatenate(
+            [inverse_reinhard_luminance(image[..., :3]), image[..., 3:4]],
+            axis=-1,
+        )
+    if settings.bloom:
+        from hikari_tpu.render.bloom import bloom as bloom_pass
+
+        image = bloom_pass(
+            image, settings.bloom_threshold, settings.bloom_intensity
+        )
     nan_mask = jnp.any(jnp.isnan(image), axis=-1, keepdims=True)
     albedo_out = albedo
     if image.shape[:2] != albedo.shape[:2]:

@@ -67,3 +67,30 @@ def test_fsr_shapes(rng):
     up = fsr_upscale(img, (64, 64), sharpness=0.0)
     assert up.shape == (64, 64, 4)
     assert np.isfinite(np.asarray(up)).all()
+
+
+def test_bloom_brightens_highlights(rng):
+    from hikari_tpu.render.bloom import bloom
+
+    img = jnp.zeros((64, 64, 3)).at[32, 32].set(jnp.array([20.0, 20.0, 20.0]))
+    out = np.asarray(bloom(img, threshold=1.0, intensity=0.5))
+    assert np.isfinite(out).all()
+    # energy spreads to neighbors of the highlight
+    assert out[32, 36].sum() > 0
+    # bloom falls off with distance (deep mips spread a faint wide halo)
+    assert out[16, 16].sum() < 0.05 * out[32, 36].sum()
+
+
+def test_hdr_bloom_pipeline(cornell_buffers):
+    from hikari_tpu.config import RenderSettings, Taa, Upscale
+    from hikari_tpu.io.scenes import cornell_config
+    from hikari_tpu.render import initial_state, render_frame_jit
+
+    _, cam, _ = cornell_config(size=32)
+    settings = RenderSettings(
+        width=32, height=32, upscale=Upscale.none(), taa=Taa.NONE,
+        denoise=False, hdr=True, bloom=True,
+    )
+    state = initial_state(settings)
+    out, _ = render_frame_jit(cornell_buffers, cam, state, settings)
+    assert np.isfinite(np.asarray(out.image)).all()
