@@ -116,3 +116,50 @@ def test_upscale_smaa_shapes(cornell_small):
     out, state = run_frames(buffers, cam, settings, 2)
     assert out.image.shape == (64, 64, 4)
     assert np.isfinite(np.asarray(out.image)).all()
+
+
+def test_multiple_bounces(cornell_small):
+    """MULTIPLE_BOUNCES specialization (reference light.wgsl:1309-1394)."""
+    buffers, cam, _ = cornell_small
+    settings = RenderSettings(
+        width=32, height=32, upscale=Upscale.none(), denoise=False,
+        taa=Taa.NONE, indirect_bounces=2, indirect_spatial_reuse=False,
+    )
+    out, _ = run_frames(buffers, cam, settings, 2)
+    ind = np.asarray(out.indirect)
+    assert np.isfinite(ind).all()
+    assert ind.mean() > 0.0005  # multi-bounce GI contributes
+
+
+def test_motion_vectors():
+    """Moving instance: velocity = current minus reprojected previous clip
+    position (reference prepass.wgsl:96). A cube translated +x since the
+    previous frame must produce positive-u screen velocity."""
+    from hikari_tpu.io.scenes import _transform
+    from hikari_tpu.render.camera import Camera
+    from hikari_tpu.render.gbuffer import render_gbuffer
+    from hikari_tpu.scene import Instance, Material, Scene, cube_mesh
+    from hikari_tpu.scene import build_scene_buffers as bsb
+    import jax.numpy as jnp
+
+    scene = Scene(materials=[])
+    m = scene.add_material(Material())
+    c = scene.add_mesh(cube_mesh(1.0))
+    prev = _transform((-0.5, 0.0, 0.0))
+    cur = _transform((0.0, 0.0, 0.0))
+    scene.add_instance(
+        Instance(c, m, transform=cur, previous_transform=prev)
+    )
+    buffers = bsb(scene)
+    cam = Camera.from_lookat(eye=(0, 0, 4), target=(0, 0, 0))
+    settings = RenderSettings(
+        width=32, height=32, upscale=Upscale.none(), taa=Taa.NONE, denoise=False
+    )
+    gb = render_gbuffer(buffers, cam, jnp.zeros((), jnp.int32), settings)
+    vel = np.asarray(gb.velocity_uv)[..., :2]
+    inst = np.asarray(gb.instance)
+    hits = inst >= 0
+    assert hits.any()
+    # moved +x in world -> +u in screen space (u increases rightward)
+    assert vel[hits][:, 0].mean() > 0.01
+    assert abs(vel[hits][:, 1].mean()) < 0.01  # no vertical motion
