@@ -4,6 +4,8 @@
 from hikari_tpu.parallel.sharding import (
     DIFF_LEAVES,
     make_mesh,
+    make_mesh_2d,
+    shard_state_2d,
     make_sharded_render,
     make_train_step,
     render_loss,
@@ -14,6 +16,8 @@ from hikari_tpu.parallel.sharding import (
 __all__ = [
     "DIFF_LEAVES",
     "make_mesh",
+    "make_mesh_2d",
+    "shard_state_2d",
     "make_sharded_render",
     "make_train_step",
     "render_loss",

@@ -36,6 +36,31 @@ def make_mesh(devices=None, axis: str = "tiles") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def make_mesh_2d(shape, devices=None, axes=("ty", "tx")) -> Mesh:
+    """2D tile mesh: image rows shard over ``ty`` and columns over ``tx``
+    (square screen tiles keep both the spatial-reuse spiral and the
+    à-trous halos compact in both dimensions)."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices[: shape[0] * shape[1]]).reshape(shape), axes)
+
+
+def shard_state_2d(state: FrameState, mesh: Mesh, axes=("ty", "tx")) -> FrameState:
+    """Place image-shaped leaves tile-sharded over (rows, cols)."""
+    ty, tx = mesh.devices.shape
+
+    def place(x):
+        if (
+            x.ndim >= 2
+            and x.shape[0] % ty == 0
+            and x.shape[1] % tx == 0
+        ):
+            spec = P(axes[0], axes[1], *([None] * (x.ndim - 2)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, state)
+
+
 def _image_spec(mesh: Mesh, ndim: int, axis: str = "tiles"):
     """Shard dim 0 (image rows); replicate the rest."""
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))

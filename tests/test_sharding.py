@@ -73,3 +73,27 @@ def test_dryrun_multichip_contract():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_2d_tile_sharding_matches(setup):
+    """2D (rows x cols) tile mesh: GSPMD handles both-axis halos; result
+    must equal single-device."""
+    from hikari_tpu.parallel import make_mesh_2d, shard_state_2d
+
+    buffers, cam, settings = setup
+    state = initial_state(settings)
+    out_ref, _ = render_frame_jit(buffers, cam, state, settings)
+
+    mesh = make_mesh_2d((2, 4))
+    with mesh:
+        b = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            ),
+            buffers,
+        )
+        s = shard_state_2d(state, mesh)
+        out_sh, _ = render_frame_jit(b, cam, s, settings)
+    np.testing.assert_allclose(
+        np.asarray(out_ref.image), np.asarray(out_sh.image), atol=2e-5
+    )
