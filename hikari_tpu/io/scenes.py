@@ -117,6 +117,8 @@ def cornell_config(size: int = 512):
         height=size,
         upscale=Upscale.none(),
         indirect_bounces=1,
+        # examples/cornell.rs:18 inserts ClearColor(Color::BLACK)
+        clear_color=(0.0, 0.0, 0.0, 1.0),
     )
     return scene, cam, settings
 
