@@ -110,6 +110,8 @@ class RenderSettings:
     bloom: bool = False
     bloom_threshold: float = 1.0
     bloom_intensity: float = 0.15
+    # Bevy's FxaaNode chained after tonemapping (src/lib.rs:332-365).
+    fxaa: bool = False
     emissive_lit: bool = True  # run the EMISSIVE_LIT channel, src/light.rs:418
     # render direct sun channel with surface emissive added (RENDER_EMISSIVE)
     # is derived: the channel that runs *last* among direct/emissive adds it.

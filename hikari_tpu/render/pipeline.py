@@ -277,6 +277,10 @@ def render_frame(
         image = bloom_pass(
             image, settings.bloom_threshold, settings.bloom_intensity
         )
+    if settings.fxaa:
+        from hikari_tpu.render.fxaa import fxaa as fxaa_pass
+
+        image = fxaa_pass(image)
     nan_mask = jnp.any(jnp.isnan(image), axis=-1, keepdims=True)
     albedo_out = albedo
     if image.shape[:2] != albedo.shape[:2]:

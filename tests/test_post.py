@@ -94,3 +94,36 @@ def test_hdr_bloom_pipeline(cornell_buffers):
     state = initial_state(settings)
     out, _ = render_frame_jit(cornell_buffers, cam, state, settings)
     assert np.isfinite(np.asarray(out.image)).all()
+
+
+def test_fxaa_smooths_edges(rng):
+    from hikari_tpu.render.fxaa import fxaa
+
+    # jagged diagonal staircase: the aliasing pattern FXAA targets
+    # (perfectly straight edges are correctly left alone)
+    img = np.zeros((32, 32, 3), np.float32)
+    for y in range(32):
+        img[y, y:] = 1.0
+    out = np.asarray(fxaa(jnp.asarray(img)))
+    assert np.isfinite(out).all()
+    # staircase corners get blended
+    changed = np.abs(out - img).sum()
+    assert changed > 0.1, changed
+    # flat interior untouched
+    np.testing.assert_allclose(out[24, 4], [0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(out[4, 28], [1, 1, 1], atol=1e-6)
+
+
+def test_fxaa_pipeline(cornell_buffers):
+    from hikari_tpu.config import RenderSettings, Taa, Upscale
+    from hikari_tpu.io.scenes import cornell_config
+    from hikari_tpu.render import initial_state, render_frame_jit
+
+    _, cam, _ = cornell_config(size=32)
+    settings = RenderSettings(
+        width=32, height=32, upscale=Upscale.none(), taa=Taa.NONE,
+        denoise=False, fxaa=True,
+    )
+    state = initial_state(settings)
+    out, _ = render_frame_jit(cornell_buffers, cam, state, settings)
+    assert np.isfinite(np.asarray(out.image)).all()
