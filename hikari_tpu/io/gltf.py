@@ -4,8 +4,8 @@ Plays the role of Bevy's glTF asset pipeline feeding the reference's scene
 compile (examples/cornell.rs:39-42, examples/scene.rs:78-81 load glb scenes).
 Supports: binary GLB and JSON glTF with external/.bin or data-URI buffers,
 node hierarchies with TRS or matrix transforms, indexed/unindexed
-triangle-list primitives, pbrMetallicRoughness materials (factors only —
-textures are resolved to factors for now), KHR emissive_strength.
+triangle-list and triangle-strip primitives, pbrMetallicRoughness materials
+with textures, KHR emissive_strength.
 """
 
 from __future__ import annotations
@@ -218,15 +218,24 @@ def load_gltf(path: str, scene: Scene | None = None) -> Scene:
                     )
                 else:
                     uv = np.zeros((len(pos), 2), dtype=np.float32)
+                mode = prim.get("mode", 4)  # 4=TRIANGLES, 5=TRIANGLE_STRIP
                 if "indices" in prim:
-                    idx = (
-                        _read_accessor(gltf, buffers, prim["indices"])
-                        .astype(np.int32)
-                        .reshape(-1, 3)
+                    idx = _read_accessor(gltf, buffers, prim["indices"]).astype(
+                        np.int32
                     )
                 else:
-                    idx = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
-                mesh_id = out.add_mesh(Mesh(pos, nrm, uv, idx))
+                    idx = np.arange(len(pos), dtype=np.int32)
+                if mode == 5:
+                    # Alternating-winding strip triangulation, matching
+                    # GpuMesh::try_from's TriangleStrip arm
+                    # (src/mesh_material/mod.rs:433-452).
+                    mesh = Mesh.from_triangle_strip(pos, nrm, uv, idx.reshape(-1))
+                elif mode == 4:
+                    mesh = Mesh(pos, nrm, uv, idx.reshape(-1, 3))
+                else:
+                    # IncompatiblePrimitiveTopology (mod.rs:451)
+                    raise ValueError(f"unsupported glTF primitive mode {mode}")
+                mesh_id = out.add_mesh(mesh)
                 prim_cache[key] = (mesh_id, material_id(prim.get("material")))
             prims.append(prim_cache[key])
         return prims

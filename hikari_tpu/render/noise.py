@@ -55,6 +55,34 @@ def blue_noise_bank(
     return bank
 
 
+REFERENCE_NOISE_DIR = "/root/reference/src/noise"
+
+
+@functools.lru_cache(maxsize=1)
+def reference_noise_bank(
+    directory: str = REFERENCE_NOISE_DIR, count: int = NOISE_TEXTURE_COUNT
+) -> np.ndarray:
+    """Exact-RNG parity mode: load the reference's 16 embedded 64x64 RGBA
+    blue-noise textures (src/lib.rs:189-219 include_bytes! of
+    noise/LDR_RGBA_{0..15}.png, loaded non-sRGB) as a (16, 64, 64, 4)
+    float32 bank in [0,1]. Used by tests/comparison harness so stochastic
+    intermediates can be compared 1:1 against the reference (SURVEY.md §7
+    hard-part 6); the procedural ``blue_noise_bank`` stays the default.
+
+    Raises FileNotFoundError when the reference checkout is absent.
+    """
+    import os
+
+    from PIL import Image
+
+    planes = []
+    for i in range(count):
+        path = os.path.join(directory, f"LDR_RGBA_{i}.png")
+        img = np.asarray(Image.open(path).convert("RGBA"), dtype=np.float32)
+        planes.append(img / 255.0)
+    return np.stack(planes)
+
+
 def sample_noise(bank, frame_number: int | "jax.Array", coords_y, coords_x):
     """Reference noise fetch (light.wgsl:1075-1079): texture index =
     frame % NOISE_TEXTURE_COUNT; uv = (pixel + frame + 0.5)/noise_size with
