@@ -41,6 +41,17 @@ Subpackage map (mirrors SURVEY.md §2 component inventory):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry correctness requires float32 contractions: TPU's default matmul
+# precision is one-pass bfloat16 (8 mantissa bits), which puts ~1e-2
+# relative error on ray/triangle dot products — larger than RAY_BIAS, so
+# hit distances acne, bounce directions denormalize (sqrt(1-x^2) goes NaN),
+# and the TAA history poisons itself. The reference's WGSL runs full f32
+# throughout; so do we. Hot contractions that can tolerate less can opt
+# down locally via lax.Precision.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from hikari_tpu.config import RenderSettings, UniversalSettings, Taa, Upscale
 
 __all__ = [

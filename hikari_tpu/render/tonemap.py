@@ -26,8 +26,14 @@ def inverse_reinhard_luminance(color):
 
 def tone_mapping(direct, emissive, indirect, clear_color):
     """(rh,rw,4) channels in, (rh,rw,4) out. Alpha sums; background (a==0)
-    becomes the clear color (tone_mapping.wgsl:24-31)."""
+    becomes the clear color (tone_mapping.wgsl:24-31).
+
+    Non-finite radiance is scrubbed to 0 here: everything downstream
+    (SMAA/TAA) carries cross-frame history, and a single NaN texel would
+    otherwise poison it permanently (the reference scrubs at the denoiser,
+    denoise.wgsl:190/239, and falls back per-pixel at the overlay)."""
     color = direct + emissive + indirect
+    color = jnp.where(jnp.isfinite(color), color, 0.0)
     rgb = reinhard_luminance(jnp.maximum(color[..., :3], 0.0039))
     out = jnp.concatenate([rgb, color[..., 3:4]], axis=-1)
     clear = jnp.asarray(clear_color)
