@@ -42,6 +42,7 @@ class SceneBuffers:
     tri_world: jax.Array  # (P, 3, 3) f32 — differentiable geometry leaf
     tri_vidx: jax.Array  # (P, 3) i32
     tri_inst: jax.Array  # (P,) i32
+    tri_local: jax.Array  # (P, 3, 3) f32 — source for device transform updates
     # precomputed plane/dual-basis form for the MXU intersection path
     # (trace/intersect.py precompute_triangles); detached search data.
     tri_n: jax.Array  # (P, 3)
@@ -54,12 +55,16 @@ class SceneBuffers:
     # vertex attributes
     vert_normal: jax.Array  # (V, 3)
     vert_uv: jax.Array  # (V, 2)
+    vert_normal_local: jax.Array  # (V, 3)
+    vert_inst: jax.Array  # (V,) i32, -1 on padding
     # stitched node graph
     node_min: jax.Array
     node_max: jax.Array
     node_entry: jax.Array
     node_exit: jax.Array
     node_inst: jax.Array
+    node_left: jax.Array  # (N,) refit children, -1 = none
+    node_right: jax.Array
     # instances
     inst_min: jax.Array
     inst_max: jax.Array
@@ -96,6 +101,8 @@ class SceneBuffers:
     enode_max: jax.Array
     enode_entry: jax.Array
     enode_exit: jax.Array
+    enode_left: jax.Array
+    enode_right: jax.Array
     alias_prob: jax.Array
     alias_index: jax.Array
     # lights — differentiable leaves
@@ -111,6 +118,10 @@ class SceneBuffers:
     num_enodes: int = static_field()
     num_materials: int = static_field()
     num_textures: int = static_field()
+    # dynamic-update (refit) metadata
+    refit_depth: int = static_field()
+    erefit_depth: int = static_field()
+    num_tlas_nodes: int = static_field()
 
 
 def _pad(arr: np.ndarray, n: int, fill=0) -> np.ndarray:
@@ -155,6 +166,7 @@ def to_device(
         tri_world=dev(tri_padded),
         tri_vidx=dev(_pad(arrays.tri_vidx, p)),
         tri_inst=dev(_pad(arrays.tri_inst, p, fill=-1)),
+        tri_local=dev(_pad(arrays.tri_local, p)),
         tri_n=pre["n"],
         tri_eu=pre["eu"],
         tri_ev=pre["ev"],
@@ -164,11 +176,15 @@ def to_device(
         tri_valid=pre["valid"],
         vert_normal=dev(_pad(arrays.vert_normal, v)),
         vert_uv=dev(_pad(arrays.vert_uv, v)),
+        vert_normal_local=dev(_pad(arrays.vert_normal_local, v)),
+        vert_inst=dev(_pad(arrays.vert_inst, v, fill=-1)),
         node_min=dev(_pad(arrays.node_min, n)),
         node_max=dev(_pad(arrays.node_max, n)),
         node_entry=dev(_pad(arrays.node_entry, n)),
         node_exit=dev(_pad(arrays.node_exit, n, fill=num_nodes)),
         node_inst=dev(_pad(arrays.node_inst, n, fill=-1)),
+        node_left=dev(_pad(arrays.node_left, n, fill=-1)),
+        node_right=dev(_pad(arrays.node_right, n, fill=-1)),
         inst_min=dev(arrays.inst_min),
         inst_max=dev(arrays.inst_max),
         inst_material=dev(arrays.inst_material),
@@ -201,6 +217,8 @@ def to_device(
         enode_max=dev(_pad(arrays.enode_max, en)),
         enode_entry=dev(_pad(arrays.enode_entry, en)),
         enode_exit=dev(_pad(arrays.enode_exit, en, fill=max(num_enodes, 1))),
+        enode_left=dev(_pad(arrays.enode_left, en, fill=-1)),
+        enode_right=dev(_pad(arrays.enode_right, en, fill=-1)),
         alias_prob=dev(_pad(arrays.alias_prob, a)),
         alias_index=dev(_pad(arrays.alias_index, a)),
         sun_direction_to_light=dev(arrays.sun_direction_to_light),
@@ -213,6 +231,9 @@ def to_device(
         num_enodes=num_enodes,
         num_materials=num_mats,
         num_textures=len(arrays.textures),
+        refit_depth=int(arrays.refit_depth),
+        erefit_depth=int(arrays.erefit_depth),
+        num_tlas_nodes=int(arrays.num_tlas_nodes),
     )
 
 

@@ -203,6 +203,44 @@ def _sah_split(prim_ids, centroids, lo, hi, bb_min, bb_max):
     return prim_ids[mask], prim_ids[~mask]
 
 
+def flat_bvh_children(bvh: FlatBvh) -> tuple[np.ndarray, np.ndarray]:
+    """Recover (left, right) child indices from the DFS-preorder entry/exit
+    layout: for an internal node, left = entry (the next node) and
+    right = exit[left] (the index just past the left subtree). Leaves get
+    (-1, -1). Used by the device-side AABB refit (scene/update.py) — the
+    stackless arrays alone don't expose children."""
+    n = bvh.count
+    left = np.full(n, -1, dtype=np.int32)
+    right = np.full(n, -1, dtype=np.int32)
+    internal = bvh.entry >= 0
+    if n:
+        left[internal] = bvh.entry[internal]
+        right[internal] = bvh.exit[np.maximum(left[internal], 0)]
+    return left, right
+
+
+def tree_depth(left: np.ndarray, right: np.ndarray, root: int = 0) -> int:
+    """Height of the tree described by child arrays (#edges on the longest
+    root->leaf path) — the number of bottom-up refit sweeps needed."""
+    if len(left) == 0:
+        return 0
+    depth = 0
+    frontier = [root]
+    while frontier:
+        nxt = []
+        for i in frontier:
+            l, r = int(left[i]), int(right[i])
+            if l >= 0:
+                nxt.append(l)
+            if r >= 0 and r != l:
+                nxt.append(r)
+        if not nxt:
+            break
+        depth += 1
+        frontier = nxt
+    return depth
+
+
 def offset_bvh(bvh: FlatBvh, node_offset: int, exit_remap: int) -> FlatBvh:
     """Shift a flattened subtree to live at ``node_offset`` inside a larger
     node array, rewiring every 'leave the tree' exit (== count) to

@@ -26,7 +26,13 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from hikari_tpu.scene.alias import build_alias_table
-from hikari_tpu.scene.bvh import FlatBvh, build_flat_bvh, offset_bvh
+from hikari_tpu.scene.bvh import (
+    FlatBvh,
+    build_flat_bvh,
+    flat_bvh_children,
+    offset_bvh,
+    tree_depth,
+)
 from hikari_tpu.scene.mesh import Mesh, transform_normals, transform_points
 
 # ---------------------------------------------------------------------------
@@ -128,10 +134,15 @@ class SceneArrays:
     tri_world: np.ndarray  # (P, 3, 3) vertex positions
     tri_vidx: np.ndarray  # (P, 3) global vertex indices
     tri_inst: np.ndarray  # (P,) instance id
+    # local-space copy for the device-side transform-update path
+    # (scene/update.py; reference rebuilds on events, instance.rs:244-444)
+    tri_local: np.ndarray  # (P, 3, 3)
 
     # vertex attributes (world space, concatenated per instance)
     vert_normal: np.ndarray  # (V, 3)
     vert_uv: np.ndarray  # (V, 2)
+    vert_normal_local: np.ndarray  # (V, 3) local-space normals
+    vert_inst: np.ndarray  # (V,) owning instance id
 
     # stitched TLAS+BLAS node graph
     node_min: np.ndarray  # (N, 3)
@@ -139,6 +150,12 @@ class SceneArrays:
     node_entry: np.ndarray  # (N,) leaf = -(prim+1)
     node_exit: np.ndarray  # (N,)
     node_inst: np.ndarray  # (N,) instance id or -1
+    # refit topology: children per node (-1 = none); portals have a single
+    # child = their instance's BLAS root
+    node_left: np.ndarray  # (N,)
+    node_right: np.ndarray  # (N,)
+    refit_depth: int  # bottom-up sweeps needed to refit the whole graph
+    num_tlas_nodes: int  # nodes [0, num_tlas_nodes) are the TLAS
 
     # instances
     inst_min: np.ndarray  # (I, 3) world AABB
@@ -177,6 +194,9 @@ class SceneArrays:
     enode_max: np.ndarray  # (EN, 3)
     enode_entry: np.ndarray  # (EN,) leaf = -(emissive+1)
     enode_exit: np.ndarray  # (EN,)
+    enode_left: np.ndarray  # (EN,) refit children
+    enode_right: np.ndarray  # (EN,)
+    erefit_depth: int
     alias_prob: np.ndarray  # (A,)
     alias_index: np.ndarray  # (A,) instance-local primitive index
 
@@ -203,8 +223,8 @@ def compile_scene(scene: Scene) -> SceneArrays:
     if num_inst == 0:
         raise ValueError("scene has no instances")
 
-    tri_world, tri_vidx, tri_inst = [], [], []
-    vert_normal, vert_uv = [], []
+    tri_world, tri_vidx, tri_inst, tri_local = [], [], [], []
+    vert_normal, vert_uv, vert_normal_local, vert_inst = [], [], [], []
     inst_min, inst_max = [], []
     inst_material = np.array([i.material for i in insts], dtype=np.int32)
     inst_prim_offset, inst_prim_count = [], []
@@ -224,8 +244,11 @@ def compile_scene(scene: Scene) -> SceneArrays:
         tri_world.append(tris)
         tri_vidx.append(mesh.indices.astype(np.int32) + vert_offset)
         tri_inst.append(np.full(len(tris), inst_id, dtype=np.int32))
+        tri_local.append(mesh.positions[mesh.indices])
         vert_normal.append(wnorm)
         vert_uv.append(mesh.uvs)
+        vert_normal_local.append(mesh.normals)
+        vert_inst.append(np.full(mesh.num_vertices, inst_id, dtype=np.int32))
 
         lo = tris.min(axis=1)
         hi = tris.max(axis=1)
@@ -241,8 +264,11 @@ def compile_scene(scene: Scene) -> SceneArrays:
     tri_world = np.concatenate(tri_world).astype(np.float32)
     tri_vidx = np.concatenate(tri_vidx)
     tri_inst = np.concatenate(tri_inst)
+    tri_local = np.concatenate(tri_local).astype(np.float32)
     vert_normal = np.concatenate(vert_normal).astype(np.float32)
     vert_uv = np.concatenate(vert_uv).astype(np.float32)
+    vert_normal_local = np.concatenate(vert_normal_local).astype(np.float32)
+    vert_inst = np.concatenate(vert_inst)
     inst_min = np.stack(inst_min).astype(np.float32)
     inst_max = np.stack(inst_max).astype(np.float32)
     inst_prim_offset = np.asarray(inst_prim_offset, dtype=np.int32)
@@ -262,6 +288,8 @@ def compile_scene(scene: Scene) -> SceneArrays:
     node_entry = np.zeros(total, dtype=np.int32)
     node_exit = np.zeros(total, dtype=np.int32)
     node_inst = np.full(total, -1, dtype=np.int32)
+    node_left = np.full(total, -1, dtype=np.int32)
+    node_right = np.full(total, -1, dtype=np.int32)
 
     # TLAS nodes; leaves become portals into the instance BLAS.
     node_min[:tlas_count] = tlas.mins
@@ -269,6 +297,9 @@ def compile_scene(scene: Scene) -> SceneArrays:
     node_exit[:tlas_count] = np.where(
         tlas.exit >= tlas_count, total, tlas.exit
     )  # "leave TLAS" = leave whole graph
+    tlas_left, tlas_right = flat_bvh_children(tlas)
+    node_left[:tlas_count] = tlas_left
+    node_right[:tlas_count] = tlas_right
     inst_blas_start = np.zeros(num_inst, dtype=np.int32)
     inst_blas_end = np.zeros(num_inst, dtype=np.int32)
     for t in range(tlas_count):
@@ -279,6 +310,9 @@ def compile_scene(scene: Scene) -> SceneArrays:
             node_inst[t] = inst_id
             inst_blas_start[inst_id] = blas_offsets[inst_id]
             inst_blas_end[inst_id] = node_exit[t]
+            # Refit: portal AABB mirrors its BLAS root (single child).
+            node_left[t] = blas_offsets[inst_id]
+            node_right[t] = -1
         else:
             node_entry[t] = e
 
@@ -296,6 +330,11 @@ def compile_scene(scene: Scene) -> SceneArrays:
         node_entry[sl] = entry
         node_exit[sl] = shifted.exit
         node_inst[sl] = inst_id
+        bl, br = flat_bvh_children(b)
+        node_left[sl] = np.where(bl >= 0, bl + off, -1)
+        node_right[sl] = np.where(br >= 0, br + off, -1)
+
+    refit_depth = tree_depth(node_left, node_right, root=0)
 
     # --- emissives: detection, alias tables, bounding spheres, light BVH ---
     # (reference src/mesh_material/instance.rs:380-428)
@@ -332,6 +371,8 @@ def compile_scene(scene: Scene) -> SceneArrays:
         )
         enode_min, enode_max = ebvh.mins, ebvh.maxs
         enode_entry, enode_exit = ebvh.entry, ebvh.exit
+        enode_left, enode_right = flat_bvh_children(ebvh)
+        erefit_depth = tree_depth(enode_left, enode_right, root=0)
     else:
         em_position_a = np.zeros((0, 3), dtype=np.float32)
         em_radius_a = np.zeros((0,), dtype=np.float32)
@@ -339,19 +380,29 @@ def compile_scene(scene: Scene) -> SceneArrays:
         enode_max = np.zeros((0, 3), dtype=np.float32)
         enode_entry = np.zeros((0,), dtype=np.int32)
         enode_exit = np.zeros((0,), dtype=np.int32)
+        enode_left = np.zeros((0,), dtype=np.int32)
+        enode_right = np.zeros((0,), dtype=np.int32)
+        erefit_depth = 0
 
     mats = scene.materials
     return SceneArrays(
         tri_world=tri_world,
         tri_vidx=tri_vidx,
         tri_inst=tri_inst,
+        tri_local=tri_local,
         vert_normal=vert_normal,
         vert_uv=vert_uv,
+        vert_normal_local=vert_normal_local,
+        vert_inst=vert_inst,
         node_min=node_min,
         node_max=node_max,
         node_entry=node_entry,
         node_exit=node_exit,
         node_inst=node_inst,
+        node_left=node_left,
+        node_right=node_right,
+        refit_depth=refit_depth,
+        num_tlas_nodes=tlas_count,
         inst_min=inst_min,
         inst_max=inst_max,
         inst_material=inst_material,
@@ -400,6 +451,9 @@ def compile_scene(scene: Scene) -> SceneArrays:
         enode_max=enode_max,
         enode_entry=enode_entry,
         enode_exit=enode_exit,
+        enode_left=enode_left,
+        enode_right=enode_right,
+        erefit_depth=erefit_depth,
         alias_prob=np.asarray(alias_prob_all, dtype=np.float32),
         alias_index=np.asarray(alias_index_all, dtype=np.int32),
         sun_direction_to_light=scene.directional_light.direction_to_light.astype(
