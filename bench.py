@@ -85,20 +85,54 @@ def main():
 
     train_step = make_train_step(settings)
 
+    device = jax.devices()[0]
+    print(f"# device={device.platform} ({device.device_kind})", file=sys.stderr)
+
     # Warmup / compile.
     loss, grads, out, state = train_step(buffers, camera, state, target)
     jax.block_until_ready(loss)
 
-    # Repeat the timed loop and take the best: per-dispatch latency through
-    # the remote-TPU tunnel is noisy, device compute is not.
+    # Compiled-executable introspection: FLOPs for an MFU estimate.
+    flops = None
+    try:
+        cost = (
+            train_step.lower(buffers, camera, state, target)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    # Dispatch-only baseline: how much of the loop is host/tunnel latency
+    # vs device compute (a trivial jitted op through the same path).
+    tiny = jax.jit(lambda x: x + 1.0)
+    _ = jax.block_until_ready(tiny(jnp.zeros(())))
+    t0 = time.perf_counter()
+    for _ in range(24):
+        r = tiny(jnp.zeros(()))
+    jax.block_until_ready(r)
+    dispatch_dt = time.perf_counter() - t0
+    print(f"# dispatch-only baseline: 24 ops in {dispatch_dt:.4f}s", file=sys.stderr)
+
+    # Repeat the timed loop and report every repetition: per-dispatch
+    # latency through the remote-TPU tunnel is noisy, device compute is not.
     frames = 24
     best_dt = float("inf")
-    for _ in range(3):
+    for rep in range(3):
         t0 = time.perf_counter()
         for _ in range(frames):
             loss, grads, out, state = train_step(buffers, camera, state, target)
         jax.block_until_ready(loss)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        dt_rep = time.perf_counter() - t0
+        print(
+            f"# rep {rep}: {frames} frames in {dt_rep:.4f}s "
+            f"({dt_rep / frames * 1e3:.2f} ms/frame)",
+            file=sys.stderr,
+        )
+        best_dt = min(best_dt, dt_rep)
 
     rays = rays_per_frame(settings, buffers) * frames
     rays_per_sec = rays / best_dt
@@ -113,9 +147,24 @@ def main():
             }
         )
     )
+    # HBM peak + rough MFU (v5e peak: ~197 bf16 / ~49 f32 TFLOP/s).
+    try:
+        stats = device.memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak is not None:
+            print(f"# HBM peak: {peak / 2**30:.2f} GiB", file=sys.stderr)
+    except Exception:
+        pass
+    if flops:
+        achieved = flops / (best_dt / frames)
+        print(
+            f"# step FLOPs={flops:.3e}, achieved {achieved / 1e12:.2f} TFLOP/s "
+            f"(~{achieved / 49e12 * 100:.1f}% of v5e f32 peak)",
+            file=sys.stderr,
+        )
     print(
         f"# frames={frames} dt={dt:.3f}s loss={float(loss):.6f} "
-        f"device={jax.devices()[0].platform}",
+        f"device={device.platform}",
         file=sys.stderr,
     )
     sys.stdout.flush()

@@ -57,6 +57,7 @@ def render_gbuffer(
         direction,
         method=settings.tracer,
         bruteforce_max_tris=settings.bruteforce_max_tris,
+        max_steps=settings.max_traversal_steps,
     )
     info = hit_info(scene, origin, direction, hit)
 

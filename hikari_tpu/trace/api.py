@@ -73,6 +73,7 @@ def trace_rays(
     range_hi=None,
     method: str = "auto",
     bruteforce_max_tris: int = 2048,
+    max_steps: int = 0,
 ) -> Hit:
     """Closest-hit query. origin/direction: (...,3). Optional per-ray
     scalars: max_distance, exclude_instance (i32, -1 = none), and a
@@ -105,7 +106,7 @@ def trace_rays(
         hit = _trace_bruteforce(scene, o, d, maxd, excl, lo, hi)
     elif method == "bvh":
         early = per_ray(early_distance, 0.0).astype(jnp.float32)
-        hit = _trace_bvh(scene, o, d, maxd, early, excl, lo, hi)
+        hit = _trace_bvh(scene, o, d, maxd, early, excl, lo, hi, max_steps)
     elif method == "pallas":
         hit = _trace_pallas(scene, o, d, maxd, excl, lo, hi)
     else:
@@ -285,9 +286,84 @@ def _trace_pallas(scene, o, d, maxd, excl, lo, hi):
 # ---------------------------------------------------------------------------
 
 
-def _trace_bvh(scene, o, d, maxd, early, excl, lo, hi):
+BVH_RAY_CHUNK = 65536  # rays per lockstep walk
+
+
+def _trace_bvh(scene, o, d, maxd, early, excl, lo, hi, max_steps: int = 0):
+    """Chunked lockstep walks: each BVH_RAY_CHUNK-ray while_loop terminates
+    independently, so coherent chunks (primary rays) exit in few steps
+    instead of being held hostage by the worst ray in the full batch."""
+    R = o.shape[0]
+    if R > BVH_RAY_CHUNK:
+        # Octant sort: group rays by direction sign pattern so each chunk's
+        # lockstep walk is coherent and terminates early (incoherent bounce
+        # rays otherwise hold every chunk at the worst ray's step count).
+        key = (
+            (d[:, 0] < 0).astype(jnp.int32) * 4
+            + (d[:, 1] < 0).astype(jnp.int32) * 2
+            + (d[:, 2] < 0).astype(jnp.int32)
+        )
+        order = jnp.argsort(key, stable=True)
+        inv_order = jnp.argsort(order, stable=True)
+        o, d = o[order], d[order]
+        maxd, early = maxd[order], early[order]
+        excl, lo, hi = excl[order], lo[order], hi[order]
+
+        n_chunks = -(-R // BVH_RAY_CHUNK)
+        Rp = n_chunks * BVH_RAY_CHUNK
+
+        def pad(x, fill=0):
+            if Rp == R:
+                return x
+            return jnp.concatenate(
+                [x, jnp.full((Rp - R,) + x.shape[1:], fill, dtype=x.dtype)]
+            )
+
+        args = (pad(o), pad(d, 1.0), pad(maxd), pad(early), pad(excl, -1),
+                pad(lo), pad(hi, 0))
+
+        def chunk_body(carry, ci):
+            to, po, uo, vo = carry
+            s = ci * BVH_RAY_CHUNK
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, s, BVH_RAY_CHUNK)
+            h = _trace_bvh_chunk(
+                scene, *(sl(a) for a in args), max_steps=max_steps
+            )
+            to = jax.lax.dynamic_update_slice_in_dim(to, h.t, s, 0)
+            po = jax.lax.dynamic_update_slice_in_dim(po, h.prim, s, 0)
+            uo = jax.lax.dynamic_update_slice_in_dim(uo, h.u, s, 0)
+            vo = jax.lax.dynamic_update_slice_in_dim(vo, h.v, s, 0)
+            return (to, po, uo, vo), None
+
+        init = (
+            jnp.zeros((Rp,)),
+            jnp.full((Rp,), -1, dtype=jnp.int32),
+            jnp.zeros((Rp,)),
+            jnp.zeros((Rp,)),
+        )
+        (t, prim, u, v), _ = jax.lax.scan(
+            chunk_body, init, jnp.arange(n_chunks, dtype=jnp.int32)
+        )
+        # Undo the octant sort.
+        t, prim, u, v = (
+            t[:R][inv_order], prim[:R][inv_order],
+            u[:R][inv_order], v[:R][inv_order],
+        )
+        inst = jnp.where(prim >= 0, scene.tri_inst[jnp.maximum(prim, 0)], -1)
+        return Hit(
+            t=t, prim=prim, inst=inst.astype(jnp.int32), u=u, v=v,
+        )
+    return _trace_bvh_chunk(scene, o, d, maxd, early, excl, lo, hi, max_steps)
+
+
+def _trace_bvh_chunk(scene, o, d, maxd, early, excl, lo, hi, max_steps: int = 0):
     R = o.shape[0]
     num_nodes = scene.num_nodes
+    # Safety cap on lockstep walk iterations (settings.max_traversal_steps).
+    # The entry/exit walk visits each node at most once, so num_nodes is the
+    # exact worst case; 0 keeps it, smaller values trade tail-correctness
+    # for a bounded wavefront (rays past the cap keep their best hit so far).
+    step_cap = max_steps if max_steps > 0 else num_nodes
 
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
 
@@ -305,14 +381,12 @@ def _trace_bvh(scene, o, d, maxd, early, excl, lo, hi):
     start = jnp.zeros((R,), dtype=jnp.int32)
     end = jnp.full((R,), num_nodes, dtype=jnp.int32)
 
-    restricted = None  # set by trace via lo/hi on prims (mask at leaves)
-
     def cond(state):
-        idx, t, prim, u, v, _ = state
+        idx, t, prim, u, v, steps = state
         active = idx != end
         # early-out rays whose hit already beats early_distance
         keep = active & ~((prim >= 0) & (t < early))
-        return jnp.any(keep)
+        return jnp.any(keep) & (steps < step_cap)
 
     def body(state):
         idx, best_t, best_prim, best_u, best_v, steps = state

@@ -142,3 +142,41 @@ def test_refine_hit_gradients(cornell_buffers):
     mask = np.ones(len(gn), bool)
     mask[int(h.prim[0])] = False
     assert np.abs(gn[mask]).sum() == 0
+
+
+def test_max_traversal_steps_cap(cornell_buffers):
+    """settings.max_traversal_steps bounds the lockstep BVH walk: a tiny
+    cap truncates the search (rays keep best-so-far), 0 = exact."""
+    rng = np.random.default_rng(11)
+    o = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 3)).astype(np.float32))
+    o = o.at[:, 1].add(1.0)
+    d = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    full = trace_rays(cornell_buffers, o, d, method="bvh", max_steps=0)
+    capped = trace_rays(cornell_buffers, o, d, method="bvh", max_steps=2)
+    assert (np.asarray(full.prim) >= 0).sum() > (np.asarray(capped.prim) >= 0).sum()
+    # A generous cap (>= node count) is exact.
+    big = trace_rays(
+        cornell_buffers, o, d, method="bvh",
+        max_steps=cornell_buffers.num_nodes,
+    )
+    np.testing.assert_array_equal(np.asarray(full.prim), np.asarray(big.prim))
+
+
+def test_bvh_ray_chunking_equivalence(cornell_buffers, monkeypatch):
+    """The chunked lockstep walk (rays split into independent while_loops,
+    trace/api.py BVH_RAY_CHUNK) returns identical hits to one big walk."""
+    import hikari_tpu.trace.api as api
+
+    rng = np.random.default_rng(5)
+    o = jnp.asarray(rng.uniform(-0.9, 0.9, (300, 3)).astype(np.float32))
+    o = o.at[:, 1].add(1.0)
+    d = jnp.asarray(rng.normal(size=(300, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    full = trace_rays(cornell_buffers, o, d, method="bvh")
+    monkeypatch.setattr(api, "BVH_RAY_CHUNK", 128)  # forces 3 chunks + pad
+    chunked = trace_rays(cornell_buffers, o, d, method="bvh")
+    np.testing.assert_array_equal(np.asarray(full.prim), np.asarray(chunked.prim))
+    np.testing.assert_allclose(np.asarray(full.t), np.asarray(chunked.t), atol=1e-6)
