@@ -5,6 +5,7 @@ finite-difference gradient checks (SURVEY.md §2.4 item 3; BASELINE.json
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -12,13 +13,7 @@ import numpy as np
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def clip_gradient(x, limit: float = 1e6):
-    """Identity forward; clips (and NaN-scrubs) the cotangent in backward.
-    Monte-Carlo estimator terms like 1/pdf produce legitimate but enormous
-    local derivatives (pdf ~ 1e-8 => d/dpdf ~ 1e16) whose products overflow
-    float32 into inf/NaN. Capping the cotangent at ``limit`` keeps
-    gradients finite at negligible bias — the standard differentiable-
-    rendering firewall."""
+def _clip_gradient(x, limit: float = 1e6):
     return x
 
 
@@ -31,7 +26,62 @@ def _clip_gradient_bwd(limit, _, g):
     return (jnp.clip(g, -limit, limit),)
 
 
-clip_gradient.defvjp(_clip_gradient_fwd, _clip_gradient_bwd)
+_clip_gradient.defvjp(_clip_gradient_fwd, _clip_gradient_bwd)
+
+
+def clip_gradient(x, limit: float = 1e6):
+    """Identity forward; clips (and NaN-scrubs) the cotangent in backward.
+    Monte-Carlo estimator terms like 1/pdf produce legitimate but enormous
+    local derivatives (pdf ~ 1e-8 => d/dpdf ~ 1e16) whose products overflow
+    float32 into inf/NaN. Capping the cotangent at ``limit`` keeps
+    gradients finite at negligible bias — the coarse safety net at pass
+    boundaries. Exactly-derived backward math (``stable_div``) handles the
+    known quotient sites so this net rarely engages.
+
+    Set HIKARI_NO_GRAD_CLIP=1 to trace without the firewall (bias
+    quantification: tests/test_diff.py compares clipped vs exact grads)."""
+    if os.environ.get("HIKARI_NO_GRAD_CLIP"):
+        return x
+    return _clip_gradient(x, limit)
+
+
+def stable_div(a, b):
+    """``a / b`` with an overflow-reassociated backward.
+
+    The naive VJP computes ``db = -g * a / b**2``; with pdf-like
+    ``b ~ 1e-6..1e-12`` the transient ``b**2`` underflows (or ``1/b**2``
+    overflows) float32 even when the final gradient is moderate.
+    Reassociating as ``db = -(g / b) * (a / b)`` reuses the forward
+    quotient and keeps every intermediate at the scale of the result —
+    the exact derivative, no clipping bias. Non-finite cotangents (true
+    overflow, e.g. g itself inf) are scrubbed to 0."""
+    a, b = jnp.broadcast_arrays(a, b)  # VJP of broadcast sums over dims
+    return _stable_div(a, b)
+
+
+@jax.custom_vjp
+def _stable_div(a, b):
+    return a / b
+
+
+def _stable_div_fwd(a, b):
+    out = a / b
+    return out, (b, out)
+
+
+def _stable_div_bwd(res, g):
+    b, out = res
+    gb = g / b
+    da = gb
+    db = -gb * out
+
+    def scrub(x):
+        return jnp.where(jnp.isfinite(x), x, 0.0)
+
+    return scrub(da), scrub(db)
+
+
+_stable_div.defvjp(_stable_div_fwd, _stable_div_bwd)
 
 
 def l2_image_loss(image, target):

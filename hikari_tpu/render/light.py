@@ -231,7 +231,9 @@ def direct_lit_pass(
     is_validation_frame = (frame_number % validate_interval) == 0
 
     trace_kw = dict(
-        method=settings.tracer, bruteforce_max_tris=settings.bruteforce_max_tris
+        method=settings.tracer,
+        bruteforce_max_tris=settings.bruteforce_max_tris,
+        max_steps=settings.max_traversal_steps,
     )
 
     def shadow_trace(ray_origin, ray_dir, candidate, trace_condition, info):
@@ -286,12 +288,18 @@ def direct_lit_pass(
             sample_position=info2.position,
             sample_normal=info2.normal,
         )
+        # stable_div: exact 1/pdf backward without the 1/pdf^2 transient
+        # overflow (diff.stable_div), replacing the old cotangent clip.
+        from hikari_tpu.diff import stable_div
+
         w_new = jnp.where(
             candidate.p > 0.0,
-            luminance(s2.radiance[..., :3]) / jnp.maximum(candidate.p, 1e-12),
+            stable_div(
+                luminance(s2.radiance[..., :3]),
+                jnp.maximum(candidate.p, 1e-12),
+            ),
             0.0,
         )
-        w_new = clip_gradient(w_new, 1e3)
         return temporal_restir(
             r_in, s2, w_new, settings.max_temporal_reuse_count, mask=take_mask
         )
@@ -341,14 +349,15 @@ def direct_lit_pass(
         sp_prev2 = scatter_invalidate(sp_prev, previous_uv, lum_miss, render_size)
 
         s_new = s_val.select(high, replace(s, random=r1.s.random))
-        w_new = clip_gradient(
-            jnp.where(
-                candidate.p > 0.0,
-                luminance(s_new.radiance[..., :3])
-                / jnp.maximum(candidate.p, 1e-12),
-                0.0,
+        from hikari_tpu.diff import stable_div
+
+        w_new = jnp.where(
+            candidate.p > 0.0,
+            stable_div(
+                luminance(s_new.radiance[..., :3]),
+                jnp.maximum(candidate.p, 1e-12),
             ),
-            1e3,
+            0.0,
         )
         r_reset = set_reservoir(s_new, w_new)
         r2 = r_reset.select(lum_miss, r1)
@@ -464,7 +473,9 @@ def indirect_lit_pass(
     )
 
     trace_kw = dict(
-        method=settings.tracer, bruteforce_max_tris=settings.bruteforce_max_tris
+        method=settings.tracer,
+        bruteforce_max_tris=settings.bruteforce_max_tris,
+        max_steps=settings.max_traversal_steps,
     )
 
     bounces = max(settings.indirect_bounces, 1)
@@ -545,14 +556,16 @@ def indirect_lit_pass(
             in_rad,
             scene.ambient_color,
         )
-        from hikari_tpu.diff import clip_gradient
+        from hikari_tpu.diff import stable_div
 
-        out_rad = clip_gradient(
-            out_rad / jnp.maximum(candidate.p[..., None], 1e-12), 1e3
+        out_rad = stable_div(
+            out_rad, jnp.maximum(candidate.p[..., None], 1e-12)
         )
         if n > 0:
             out_rad = jnp.where(
-                (pdf < 0.01)[..., None], 0.0, out_rad / jnp.maximum(pdf[..., None], 1e-6)
+                (pdf < 0.01)[..., None],
+                0.0,
+                stable_div(out_rad, jnp.maximum(pdf[..., None], 1e-6))
             )
         # Firefly clamp (light.wgsl:1372-1376).
         out_lum = luminance(out_rad)
@@ -625,13 +638,12 @@ def indirect_lit_pass(
         s.radiance,
         scene.ambient_color,
     )
-    w_new = clip_gradient(
-        jnp.where(
-            first_pdf > 0.0,
-            luminance(sample_shaded) / jnp.maximum(first_pdf, 1e-12),
-            0.0,
-        ),
-        1e6,
+    from hikari_tpu.diff import stable_div
+
+    w_new = jnp.where(
+        first_pdf > 0.0,
+        stable_div(luminance(sample_shaded), jnp.maximum(first_pdf, 1e-12)),
+        0.0,
     )
     r = temporal_restir(r, s, w_new, settings.max_temporal_reuse_count)
 

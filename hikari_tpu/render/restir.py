@@ -198,13 +198,16 @@ def reservoir_variance(r: Reservoir, max_variance: float) -> jax.Array:
 
 def finalize_w(r: Reservoir, target_luminance) -> Reservoir:
     """Unbiased contribution weight W = w_sum / (count * p_target)
-    (reference light.wgsl:1216-1217). Cotangent-clipped: 1/luminance
-    derivatives near zero overflow float32 (see diff.clip_gradient)."""
-    from hikari_tpu.diff import clip_gradient
+    (reference light.wgsl:1216-1217). The quotient's backward is computed
+    with diff.stable_div — exact derivative, reassociated so the
+    1/luminance^2 transient can't overflow float32 near zero."""
+    from hikari_tpu.diff import stable_div
 
     total = r.count * target_luminance
-    w = jnp.where(total > 0.0, r.w_sum / jnp.where(total == 0.0, 1.0, total), 0.0)
-    return replace(r, w=clip_gradient(w, 1e3))
+    w = jnp.where(
+        total > 0.0, stable_div(r.w_sum, jnp.where(total == 0.0, 1.0, total)), 0.0
+    )
+    return replace(r, w=w)
 
 
 def compute_jacobian(q: Sample, r: Sample) -> jax.Array:

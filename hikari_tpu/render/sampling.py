@@ -259,12 +259,12 @@ def select_light_candidate(
     denom = jnp.abs(
         dot3(ray_dir, target.normal) * scene.em_surface_area[safe_em]
     )
-    p_em = d2 / jnp.maximum(denom, 1e-12) / jnp.maximum(count, 1.0)
-    # Firewall: 1/p downstream turns tiny-p derivatives into float32
-    # overflow -> NaN; cap the cotangent (diff/clip_gradient).
-    from hikari_tpu.diff import clip_gradient
+    # stable_div: exact quotient backward without the 1/denom^2 transient
+    # overflow near the 1e-12 guard (diff.stable_div), replacing the old
+    # cotangent clip.
+    from hikari_tpu.diff import stable_div
 
-    p_em = clip_gradient(p_em, 1e3)
+    p_em = stable_div(d2, jnp.maximum(denom, 1e-12)) / jnp.maximum(count, 1.0)
 
     okf = ok[..., None]
     merged_info = HitInfo(
@@ -279,7 +279,7 @@ def select_light_candidate(
         max_distance=jnp.where(ok, hit.t, candidate.max_distance),
         min_distance=jnp.where(ok, hit.t - 0.1, candidate.min_distance),
         emissive_instance=jnp.where(ok, em_inst, NO_EMISSIVE).astype(jnp.int32),
-        p=clip_gradient(jnp.where(ok, p_em, candidate.p), 1e3),
+        p=jnp.where(ok, p_em, candidate.p),
     )
     return merged, merged_info
 

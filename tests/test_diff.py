@@ -121,3 +121,32 @@ def test_vertex_grads_nonzero(setup):
     assert np.isfinite(g).all()
     # fixed-topology gradients flow through hit refinement
     assert np.abs(g).sum() > 0
+
+
+def test_firewall_bias_quantified(setup):
+    """Quantify the pass-boundary firewall's clipping bias: gradients with
+    the firewall vs exact gradients (HIKARI_NO_GRAD_CLIP=1) on a smooth
+    config where both are finite. With the known quotient sites now exact
+    (diff.stable_div), the remaining clip should engage rarely: bias bound
+    asserted at <1% relative on material gradients."""
+    import os
+
+    buffers, cam, state, settings = setup
+
+    def grads(field):
+        f = _loss_fn(buffers, cam, state, settings, field)
+        return np.asarray(jax.grad(f)(getattr(buffers, field)))
+
+    g_clip = grads("mat_base_color")
+    os.environ["HIKARI_NO_GRAD_CLIP"] = "1"
+    try:
+        g_exact = grads("mat_base_color")
+    finally:
+        del os.environ["HIKARI_NO_GRAD_CLIP"]
+
+    assert np.isfinite(g_clip).all()
+    assert np.isfinite(g_exact).all(), "exact grads non-finite; firewall load-bearing"
+    denom = max(np.abs(g_exact).max(), 1e-12)
+    rel = np.abs(g_clip - g_exact).max() / denom
+    # Documented bias bound (VERDICT round-1 item 5).
+    assert rel < 1e-2, f"firewall bias {rel:.3e} exceeds 1% bound"
