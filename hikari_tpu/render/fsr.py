@@ -4,50 +4,89 @@ contrast-adaptive sharpening).
 The reference ships these as prebuilt SPIR-V binaries
 (src/shaders/fsr/fsr_pass_easu.spv / fsr_pass_rcas.spv, dispatched at
 src/post_process.rs:1279-1308 with the FsrConstantsUniform ratio/sharpness,
-src/post_process.rs:503-534). This is a from-scratch jnp implementation of
-AMD's publicly documented FidelityFX-FSR 1.0 algorithm (ffx_fsr1.h):
+src/post_process.rs:503-534; algorithm source in src/shaders/fsr/source.zip
+= AMD FidelityFX ffx_fsr1.h). This is a faithful jnp re-derivation of that
+public algorithm:
 
-* EASU: 12-tap pattern around the source position; luma-based edge
-  direction + feature-length analysis drives an anisotropic elliptical
-  lanczos-like kernel; output clamped to the 2x2 deringing hull.
-* RCAS: 5-tap (+ cross) sharpen whose per-pixel gain is limited so no
-  ring/clip occurs; ``sharpness`` 0.0 = max (matching Upscale::Fsr1).
+* EASU (``FsrEasuF``): 12-tap pattern around the source position; per-quad
+  luma gradients accumulate a bilinear-weighted edge direction + feature
+  length; the direction rotates and the length anisotropically stretches a
+  polynomial Lanczos2 approximation ``(25/16 (2/5 d2-1)^2 - 9/16)(lob*d2-1)^2``
+  whose negative-lobe strength/window clip adapt to edge-ness; the result
+  is clamped to the min/max of the nearest 2x2 (dering hull).
+* RCAS (``FsrRcasF``): cross-tap (b,d,e,f,h) sharpen whose per-pixel
+  negative lobe solves for the largest gain that cannot clip, limited to
+  FSR_RCAS_LIMIT and scaled by ``exp2(-sharpness)``; sharpness 0.0 = max
+  (matching ``Upscale::Fsr1``, reference src/lib.rs:502-507).
+
+Where ffx uses bit-trick reciprocal approximations (APrxLoRcpF1 etc.) for
+pre-RDNA ALU throughput, we use exact reciprocals — TPU transcendentals
+are full-rate and the approximations only add error.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from hikari_tpu.render.filters import bilinear_sample
-from hikari_tpu.utils import uv_grid
+from hikari_tpu.utils import gather_pixels, saturate
+
+FSR_RCAS_LIMIT = 0.25 - 1.0 / 16.0
 
 
-def _luma(c):
-    # FSR uses R*0.5+G+B*0.25-ish approximations; plain BT.709-ish works.
-    return 0.5 * c[..., 0] + c[..., 1] + 0.25 * c[..., 2]
+def _luma2(c):
+    """FSR's "luma times 2" (ffx_fsr1.h:366): B*0.5 + R*0.5 + G."""
+    return 0.5 * c[..., 0] + c[..., 1] + 0.5 * c[..., 2]
+
+
+def _easu_set(dir_x, dir_y, length, w, lA, lB, lC, lD, lE):
+    """``FsrEasuSetF`` (ffx_fsr1.h:276-312): accumulate the bilinear-
+    weighted '+' gradient direction and edge-ness length at one quad tap.
+    lA..lE follow the plus layout  a / b c d / e."""
+    dc = lD - lC
+    cb = lC - lB
+    len_x = 1.0 / jnp.maximum(jnp.maximum(jnp.abs(dc), jnp.abs(cb)), 1e-20)
+    dir_xx = lD - lB
+    dir_x = dir_x + dir_xx * w
+    len_x = saturate(jnp.abs(dir_xx) * len_x)
+    len_x = len_x * len_x
+    length = length + len_x * w
+
+    ec = lE - lC
+    ca = lC - lA
+    len_y = 1.0 / jnp.maximum(jnp.maximum(jnp.abs(ec), jnp.abs(ca)), 1e-20)
+    dir_yy = lE - lA
+    dir_y = dir_y + dir_yy * w
+    len_y = saturate(jnp.abs(dir_yy) * len_y)
+    len_y = len_y * len_y
+    length = length + len_y * w
+    return dir_x, dir_y, length
 
 
 def easu(img, out_size):
-    """Upscale (h,w,c) -> out_size using edge-adaptive filtering."""
+    """``FsrEasuF`` (ffx_fsr1.h:315-436) over the whole output grid.
+    img: (ih, iw, >=3); returns (oh, ow, 3)."""
     ih, iw = img.shape[0], img.shape[1]
     oh, ow = out_size
-    uv = uv_grid((oh, ow))
-    # Source-space position of each output pixel.
-    px = uv[..., 0] * iw - 0.5
-    py = uv[..., 1] * ih - 0.5
-    ix = jnp.floor(px)
-    iy = jnp.floor(py)
-    fx = (px - ix)[..., None]
-    fy = (py - iy)[..., None]
-    ixi = ix.astype(jnp.int32)
-    iyi = iy.astype(jnp.int32)
+
+    # con0: output integer position -> input pixel position ('f').
+    ox = jnp.arange(ow, dtype=jnp.float32)[None, :]
+    oy = jnp.arange(oh, dtype=jnp.float32)[:, None]
+    ppx = ox * (iw / ow) + (0.5 * iw / ow - 0.5)
+    ppy = oy * (ih / oh) + (0.5 * ih / oh - 0.5)
+    ppx, ppy = jnp.broadcast_to(ppx, (oh, ow)), jnp.broadcast_to(ppy, (oh, ow))
+    fpx = jnp.floor(ppx)
+    fpy = jnp.floor(ppy)
+    px = ppx - fpx  # pp in [0,1): position inside the f/g/j/k quad
+    py = ppy - fpy
+    ix = fpx.astype(jnp.int32)
+    iy = fpy.astype(jnp.int32)
 
     def tap(dx, dy):
-        x = jnp.clip(ixi + dx, 0, iw - 1)
-        y = jnp.clip(iyi + dy, 0, ih - 1)
-        return img[y, x][..., :3]
+        x = jnp.clip(ix + dx, 0, iw - 1)
+        y = jnp.clip(iy + dy, 0, ih - 1)
+        return gather_pixels(img[..., :3], y, x)  # (oh, ow, 3)
 
-    # 12-tap pattern (FSR's b,c / e,f,g,h / i,j,k,l / n,o quads):
+    # 12-tap pattern (ffx_fsr1.h:330-334):
     #     b c
     #   e f g h
     #   i j k l
@@ -57,119 +96,130 @@ def easu(img, out_size):
     i = tap(-1, 1); j = tap(0, 1); k = tap(1, 1); l = tap(2, 1)
     n = tap(0, 2); o = tap(1, 2)
 
-    lb, lc = _luma(b), _luma(c)
-    le, lf, lg, lh = _luma(e), _luma(f), _luma(g), _luma(h)
-    li, lj, lk, ll = _luma(i), _luma(j), _luma(k), _luma(l)
-    ln, lo = _luma(n), _luma(o)
+    bL, cL, eL, fL, gL, hL = map(_luma2, (b, c, e, f, g, h))
+    iL, jL, kL, lL, nL, oL = map(_luma2, (i, j, k, l, n, o))
 
-    # Edge direction from luma gradients at the 4 nearest taps (f,g,j,k),
-    # interpolated by the subpixel position — the core of ffx EASU's
-    # FsrEasuSet analysis.
-    def dir_len(l_up, l_left, l_c, l_right, l_down, w):
-        dirx = l_right - l_left
-        diry = l_down - l_up
-        # feature length: how much the center deviates -> isotropy control
-        lenx = jnp.clip(jnp.abs(dirx) / jnp.maximum(
-            jnp.maximum(l_right, jnp.maximum(l_left, l_c)) - jnp.minimum(
-                l_right, jnp.minimum(l_left, l_c)), 1e-4), 0.0, 1.0)
-        leny = jnp.clip(jnp.abs(diry) / jnp.maximum(
-            jnp.maximum(l_down, jnp.maximum(l_up, l_c)) - jnp.minimum(
-                l_down, jnp.minimum(l_up, l_c)), 1e-4), 0.0, 1.0)
-        return dirx * w, diry * w, (lenx * lenx + leny * leny) * w
+    # Bilinear-weighted direction/length accumulation (ffx_fsr1.h:388-391).
+    dir_x = jnp.zeros((oh, ow))
+    dir_y = jnp.zeros((oh, ow))
+    length = jnp.zeros((oh, ow))
+    dir_x, dir_y, length = _easu_set(
+        dir_x, dir_y, length, (1.0 - px) * (1.0 - py), bL, eL, fL, gL, jL
+    )
+    dir_x, dir_y, length = _easu_set(
+        dir_x, dir_y, length, px * (1.0 - py), cL, fL, gL, hL, kL
+    )
+    dir_x, dir_y, length = _easu_set(
+        dir_x, dir_y, length, (1.0 - px) * py, fL, iL, jL, kL, nL
+    )
+    dir_x, dir_y, length = _easu_set(
+        dir_x, dir_y, length, px * py, gL, jL, kL, lL, oL
+    )
 
-    fxs = fx[..., 0]
-    fys = fy[..., 0]
-    wf = (1 - fxs) * (1 - fys)
-    wg = fxs * (1 - fys)
-    wj = (1 - fxs) * fys
-    wk = fxs * fys
-    dfx, dfy, flen = dir_len(lb, le, lf, lg, lj, wf)
-    dgx, dgy, glen = dir_len(lc, lf, lg, lh, lk, wg)
-    djx, djy, jlen = dir_len(lf, li, lj, lk, ln, wj)
-    dkx, dky, klen = dir_len(lg, lj, lk, ll, lo, wk)
-    dirx = dfx + dgx + djx + dkx
-    diry = dfy + dgy + djy + dky
-    feat = flen + glen + jlen + klen
+    # Normalize direction; zero-gradient pixels become (1, 0)
+    # (ffx_fsr1.h:394-402).
+    dir_r = dir_x * dir_x + dir_y * dir_y
+    zro = dir_r < (1.0 / 32768.0)
+    dir_rs = 1.0 / jnp.sqrt(jnp.maximum(dir_r, 1e-30))
+    dir_rs = jnp.where(zro, 1.0, dir_rs)
+    dir_x = jnp.where(zro, 1.0, dir_x) * dir_rs
+    dir_y = jnp.where(zro, 0.0, dir_y) * dir_rs
 
-    # Normalize direction; degenerate -> axis aligned.
-    dl2 = dirx * dirx + diry * diry
-    scale = jnp.where(dl2 < 1e-8, 1.0, 1.0 / jnp.sqrt(jnp.maximum(dl2, 1e-8)))
-    dirx_n = jnp.where(dl2 < 1e-8, 1.0, dirx * scale)
-    diry_n = jnp.where(dl2 < 1e-8, 0.0, diry * scale)
+    # len in {0..2} -> {0..1}, shaped (ffx_fsr1.h:404-405).
+    length = (length * 0.5) ** 2
+    # Kernel stretch: 1.0 horz/vert to sqrt(2) diagonal (ffx_fsr1.h:407).
+    stretch = (dir_x * dir_x + dir_y * dir_y) / jnp.maximum(
+        jnp.maximum(jnp.abs(dir_x), jnp.abs(dir_y)), 1e-20
+    )
+    len2_x = 1.0 + (stretch - 1.0) * length
+    len2_y = 1.0 - 0.5 * length
+    # Negative lobe strength + window clip (ffx_fsr1.h:413-416).
+    lob = 0.5 + ((1.0 / 4.0 - 0.04) - 0.5) * length
+    clp = 1.0 / lob
 
-    stretch = 1.0 + 1.0 * feat * feat  # anisotropy along the edge
-    # Kernel window scales (FSR uses {1/(1+stretch), ...}).
-    len2 = feat * feat
-    lob = 0.5 + ((1.0 / 4.0 - 0.04) - 0.5) * len2  # negative-lobe strength
-    clp = 1.0 / jnp.maximum(lob, 1e-3)
+    # Dering hull: min/max of the nearest 2x2 f,g,j,k (ffx_fsr1.h:419-422).
+    min4 = jnp.minimum(jnp.minimum(f, g), jnp.minimum(j, k))
+    max4 = jnp.maximum(jnp.maximum(f, g), jnp.maximum(j, k))
 
-    def kernel_w(dx, dy):
-        # Rotate offset into edge frame, squash across the edge.
-        vx = (dx - fxs) * dirx_n + (dy - fys) * diry_n
-        vy = -(dx - fxs) * diry_n + (dy - fys) * dirx_n
-        vx = vx / stretch
+    aC = jnp.zeros((oh, ow, 3))
+    aW = jnp.zeros((oh, ow))
+
+    def accum(aC, aW, off_x, off_y, color):
+        """``FsrEasuTapF`` (ffx_fsr1.h:240-270)."""
+        vx = (off_x - px) * dir_x + (off_y - py) * dir_y
+        vy = (off_x - px) * (-dir_y) + (off_y - py) * dir_x
+        vx = vx * len2_x
+        vy = vy * len2_y
         d2 = jnp.minimum(vx * vx + vy * vy, clp)
-        # FSR's polynomial lanczos-ish window: (d2*w-1)^2 * (d2*lob-1)^2-ish
-        a_ = d2 * (2.0 / 5.0) - 1.0
-        b_ = d2 * lob - 1.0
-        return (a_ * a_) * (b_ * b_) * (25.0 / 16.0 - (25.0 / 16.0 - 1.0) * 0)
+        wB = (2.0 / 5.0) * d2 - 1.0
+        wA = lob * d2 - 1.0
+        wB = wB * wB
+        wA = wA * wA
+        wB = (25.0 / 16.0) * wB - (25.0 / 16.0 - 1.0)
+        w = wB * wA
+        return aC + color * w[..., None], aW + w
 
-    taps = [
-        (b, 0, -1), (c, 1, -1),
-        (e, -1, 0), (f, 0, 0), (g, 1, 0), (h, 2, 0),
-        (i, -1, 1), (j, 0, 1), (k, 1, 1), (l, 2, 1),
-        (n, 0, 2), (o, 1, 2),
-    ]
-    acc = jnp.zeros((oh, ow, 3))
-    wsum = jnp.zeros((oh, ow))
-    for color, dx, dy in taps:
-        wk_ = kernel_w(float(dx), float(dy))
-        acc = acc + color * wk_[..., None]
-        wsum = wsum + wk_
-    out = acc / jnp.maximum(wsum[..., None], 1e-5)
+    for off_x, off_y, color in (
+        (0.0, -1.0, b), (1.0, -1.0, c),
+        (-1.0, 1.0, i), (0.0, 1.0, j), (0.0, 0.0, f), (-1.0, 0.0, e),
+        (1.0, 1.0, k), (2.0, 1.0, l), (2.0, 0.0, h), (1.0, 0.0, g),
+        (1.0, 2.0, o), (0.0, 2.0, n),
+    ):
+        aC, aW = accum(aC, aW, off_x, off_y, color)
 
-    # Deringing: clamp to the min/max of the 2x2 nearest quad.
-    quad = jnp.stack([f, g, j, k], axis=0)
-    out = jnp.clip(out, quad.min(axis=0), quad.max(axis=0))
-    return out
+    pix = aC / jnp.maximum(aW, 1e-20)[..., None]
+    return jnp.clip(pix, min4, max4)
 
 
 def rcas(img, sharpness: float = 0.0):
-    """Sharpening; ``sharpness`` in stops (0 = maximum, 2 = weak), matching
-    FsrRcasCon. 4-neighbor cross pattern with clip-proof gain."""
-    denoise_limit = 0.25 - 1.0 / 16.0
-    peak = -1.0 / (2.0 ** sharpness * 8.0 / 5.0)
+    """``FsrRcasF`` (ffx_fsr1.h:684-772): sharpen without ringing.
+    ``sharpness`` in stops: 0.0 = maximum (FsrRcasCon, ffx_fsr1.h:662)."""
+    ih, iw = img.shape[0], img.shape[1]
+    gain = float(2.0 ** (-sharpness))
+    rgb = img[..., :3]
 
-    def shift(dx, dy):
-        return jnp.roll(jnp.roll(img[..., :3], -dy, axis=0), -dx, axis=1)
+    ys = jnp.arange(ih, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(iw, dtype=jnp.int32)[None, :]
 
-    e = img[..., :3]
-    b = shift(0, -1)
-    d = shift(-1, 0)
-    f = shift(1, 0)
-    h = shift(0, 1)
+    def tap(dx, dy):
+        x = jnp.clip(xs + dx, 0, iw - 1)
+        y = jnp.clip(ys + dy, 0, ih - 1)
+        return gather_pixels(rgb, jnp.broadcast_to(y, (ih, iw)),
+                             jnp.broadcast_to(x, (ih, iw)))
 
-    # Luma-weighted min/max of the cross.
-    mn = jnp.minimum(jnp.minimum(jnp.minimum(b, d), jnp.minimum(f, h)), e)
-    mx = jnp.maximum(jnp.maximum(jnp.maximum(b, d), jnp.maximum(f, h)), e)
-    # Limiters: amount of sharpening that avoids clipping.
-    hit_min = mn / jnp.maximum(4.0 * mx, 1e-4)
-    hit_max = (1.0 - mx) / jnp.maximum(4.0 * mn - 4.0, -1e4)
+    b = tap(0, -1)
+    d = tap(-1, 0)
+    e = rgb
+    f = tap(1, 0)
+    h = tap(0, 1)
+
+    # Min/max of the cross ring, per channel (ffx_fsr1.h:739-744).
+    mn4 = jnp.minimum(jnp.minimum(b, d), jnp.minimum(f, h))
+    mx4 = jnp.maximum(jnp.maximum(b, d), jnp.maximum(f, h))
+    # Limiters: largest negative lobe that cannot clip (ffx_fsr1.h:746-755).
+    hit_min = jnp.minimum(mn4, e) / jnp.maximum(4.0 * mx4, 1e-20)
+    hit_max = (1.0 - jnp.maximum(mx4, e)) / jnp.minimum(4.0 * mn4 - 4.0, -1e-20)
+    lobe_rgb = jnp.maximum(-hit_min, hit_max)
     lobe = jnp.maximum(
-        -hit_min, jnp.minimum(hit_max, 0.0)
-    )
-    lobe = jnp.clip(lobe, peak, 0.0)
-    out = (lobe * (b + d + f + h) + e) / (4.0 * lobe + 1.0)
-    if img.shape[-1] == 4:
-        out = jnp.concatenate([out, img[..., 3:4]], axis=-1)
+        -FSR_RCAS_LIMIT,
+        jnp.minimum(jnp.max(lobe_rgb, axis=-1), 0.0),
+    ) * gain
+    # Resolve (ffx_fsr1.h:761-765).
+    rcp_l = 1.0 / (4.0 * lobe + 1.0)
+    out = (lobe[..., None] * (b + d + f + h) + e) * rcp_l[..., None]
+    if img.shape[-1] > 3:
+        out = jnp.concatenate([out, img[..., 3:]], axis=-1)
     return out
 
 
 def fsr_upscale(img, out_size, sharpness: float = 0.0):
-    """EASU upscale + RCAS sharpen — the reference's FSR pass pair
-    (src/post_process.rs:1279-1308)."""
+    """EASU upscale + RCAS sharpen, preserving any alpha channel
+    (the reference's two dispatches, src/post_process.rs:1279-1308)."""
     up = easu(img, out_size)
-    if img.shape[-1] == 4:
-        a = bilinear_sample(img[..., 3:4], uv_grid(out_size))
-        up = jnp.concatenate([up, a], axis=-1)
+    if img.shape[-1] > 3:
+        from hikari_tpu.render.filters import bilinear_sample
+        from hikari_tpu.utils import uv_grid
+
+        alpha = bilinear_sample(img[..., 3:], uv_grid(out_size))
+        up = jnp.concatenate([up, alpha], axis=-1)
     return rcas(up, sharpness)

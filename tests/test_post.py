@@ -127,3 +127,58 @@ def test_fxaa_pipeline(cornell_buffers):
     state = initial_state(settings)
     out, _ = render_frame_jit(cornell_buffers, cam, state, settings)
     assert np.isfinite(np.asarray(out.image)).all()
+
+
+def test_fsr_easu_exact_algorithm(rng):
+    """EASU (exact ffx_fsr1.h re-derivation): sharper than bilinear on
+    edges, bounded by the 2x2 dering hull (no over/undershoot)."""
+    from hikari_tpu.render.filters import bilinear_sample
+    from hikari_tpu.render.fsr import easu
+    from hikari_tpu.utils import uv_grid
+
+    # Step edge (the adversarial case for ringing).
+    img = np.zeros((32, 32, 3), np.float32)
+    img[:, 16:] = 1.0
+    img = jnp.asarray(img)
+    up = np.asarray(easu(img, (64, 64)))
+    # Dering hull: output within the global input range.
+    assert up.min() >= -1e-6 and up.max() <= 1.0 + 1e-6
+    bil = np.asarray(bilinear_sample(img, uv_grid((64, 64))))
+    # Edge sharpness: the transition band (values strictly between
+    # 0.05 and 0.95) is no wider than bilinear's.
+    band_easu = ((up[32] > 0.05) & (up[32] < 0.95)).sum()
+    band_bil = ((bil[32] > 0.05) & (bil[32] < 0.95)).sum()
+    assert band_easu <= band_bil, (band_easu, band_bil)
+
+    # Identity-ish: flat regions are preserved.
+    flat = jnp.ones((16, 16, 3)) * 0.37
+    upf = np.asarray(easu(flat, (32, 32)))
+    np.testing.assert_allclose(upf, 0.37, atol=1e-5)
+
+
+def test_fsr_rcas_no_clip(rng):
+    """RCAS sharpens without ringing: output bounded by the local
+    neighborhood (the limiter solves for the non-clipping gain)."""
+    from hikari_tpu.render.fsr import rcas
+
+    img = jnp.asarray(rng.uniform(size=(48, 48, 3)).astype(np.float32))
+    out = np.asarray(rcas(img, sharpness=0.0))
+    assert np.isfinite(out).all()
+    # RCAS lobe is clamped so results stay in a sane range.
+    assert out.min() >= -0.25 and out.max() <= 1.5
+
+    # Sharpening increases local contrast on a soft edge.
+    soft = np.zeros((32, 32, 3), np.float32)
+    soft[:, :14] = 0.2
+    soft[:, 14] = 0.4
+    soft[:, 15] = 0.6
+    soft[:, 16:] = 0.8
+    sharpened = np.asarray(rcas(jnp.asarray(soft), sharpness=0.0))
+    grad_in = np.abs(np.diff(soft[16, :, 1]))
+    grad_out = np.abs(np.diff(sharpened[16, :, 1]))
+    assert grad_out.max() >= grad_in.max()
+    # sharpness=2 stops reduces the effect vs sharpness=0.
+    mild = np.asarray(rcas(jnp.asarray(soft), sharpness=2.0))
+    dev_max = np.abs(sharpened - soft).sum()
+    dev_mild = np.abs(mild - soft).sum()
+    assert dev_mild <= dev_max
