@@ -49,6 +49,95 @@ def halo_exchange_rows(x, radius: int, axis_name: str = "tiles"):
     return out, valid
 
 
+def denoise_channel_sharded(
+    radiance,
+    variance,
+    albedo_rr,
+    gbuffer,
+    frame_number,
+    settings,
+    mesh: Mesh,
+    axis_name: str = "tiles",
+):
+    """The full SVGF channel denoiser with MANUAL halo exchange: each of
+    the 4 à-trous levels runs shard-locally after one ppermute of exactly
+    ``step`` rows per side per field, instead of letting GSPMD re-shard
+    whole arrays around every jnp.roll. Numerically identical to
+    render/denoise.denoise_channel — the level body is shared
+    (render/denoise.atrous_level); only the tap transport differs.
+    Communication: 2 ppermutes x 5 fields x 4 levels moving
+    (8+4+2+1)-row halos, vs GSPMD's collective-permutes of full shards
+    per roll (measured in tests/test_halo.py::test_halo_collective_volume).
+    """
+    from hikari_tpu.config import F32_EPSILON
+    from hikari_tpu.render.denoise import (
+        STEP_SIZES,
+        _deferred_maps,
+        demodulate,
+        filtered_variance,
+    )
+
+    depth, normal, grad, inst = _deferred_maps(gbuffer, settings, frame_number)
+    background = depth < F32_EPSILON
+
+    irradiance = demodulate(radiance, albedo_rr)
+    var = filtered_variance(variance)
+
+    for step in STEP_SIZES:
+        irradiance = _halo_atrous_level(
+            irradiance, var, depth, normal, grad, inst, settings, step,
+            mesh, axis_name,
+        )
+
+    out = irradiance * albedo_rr
+    return jnp.where(background[..., None], 0.0, out)
+
+
+def _halo_atrous_level(
+    irradiance, var, depth, normal, grad, inst, settings, step: int,
+    mesh: Mesh, axis_name: str,
+):
+    from jax import shard_map
+
+    from hikari_tpu.render.denoise import atrous_level
+
+    def spec(x):
+        return P(axis_name, *([None] * (x.ndim - 1)))
+
+    args = (irradiance, var, depth, normal, grad, inst)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=tuple(spec(a) for a in args),
+        out_specs=P(axis_name, None, None),
+        check_vma=False,
+    )
+    def level(irr_l, var_l, depth_l, normal_l, grad_l, inst_l):
+        r = step
+        h_loc, w = irr_l.shape[0], irr_l.shape[1]
+        padded = {}
+        irr_p, row_valid = halo_exchange_rows(irr_l, r, axis_name)
+        padded["irr"] = irr_p
+        for name, f in (("normal", normal_l), ("depth", depth_l), ("inst", inst_l)):
+            padded[name], _ = halo_exchange_rows(f, r, axis_name)
+
+        def tap(name, dy, dx):
+            ys = r + dy * step
+            t = jax.lax.dynamic_slice_in_dim(padded[name], ys, h_loc, 0)
+            rv = jax.lax.dynamic_slice_in_dim(row_valid, ys, h_loc, 0)
+            t = jnp.roll(t, -dx * step, axis=1)
+            xs = jnp.arange(w)[None, :] + dx * step
+            col_ok = (xs >= 0) & (xs < w)
+            return t, rv[:, None] & col_ok
+
+        return atrous_level(
+            irr_l, var_l, (depth_l, normal_l, grad_l, inst_l), settings, tap
+        )
+
+    return level(*args)
+
+
 def sharded_atrous_level(
     irradiance,  # (H, W, 3) row-sharded
     weight_maps,  # dict of (H, W[,C]) row-sharded guide images

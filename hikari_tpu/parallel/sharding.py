@@ -83,14 +83,34 @@ def replicate(tree, mesh: Mesh):
     )
 
 
-def make_sharded_render(settings: RenderSettings, mesh: Mesh, axis: str = "tiles"):
+def make_sharded_render(
+    settings: RenderSettings,
+    mesh: Mesh,
+    axis: str = "tiles",
+    manual_halo_denoise: bool = False,
+):
     """jit-compiled SPMD render step: state/outputs row-sharded, scene and
     camera replicated. Sharding propagates from the input placements; a
-    constraint on the final image keeps XLA from gratuitously replicating."""
+    constraint on the final image keeps XLA from gratuitously replicating.
+
+    ``manual_halo_denoise``: swap the GSPMD-resharded denoiser for the
+    shard_map manual-halo version (parallel/halo.py) — one ppermute of
+    exactly ``step`` halo rows per field per à-trous level instead of
+    compiler-chosen collectives around every roll. Numerically identical
+    (tests/test_halo.py)."""
+    denoise_fn = None
+    if manual_halo_denoise:
+        from hikari_tpu.parallel.halo import denoise_channel_sharded
+
+        denoise_fn = partial(
+            denoise_channel_sharded, mesh=mesh, axis_name=axis
+        )
 
     @jax.jit
     def step(scene, camera, state):
-        out, new_state = render_frame(scene, camera, state, settings)
+        out, new_state = render_frame(
+            scene, camera, state, settings, denoise_fn=denoise_fn
+        )
         constrained = jax.lax.with_sharding_constraint(
             out.image, _image_spec(mesh, out.image.ndim, axis)
         )

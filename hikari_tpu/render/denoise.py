@@ -91,6 +91,81 @@ def filtered_variance(variance):
     return out
 
 
+def atrous_level(irradiance, var, guides, settings: RenderSettings, tap):
+    """One edge-aware à-trous level. ``guides`` = (depth, normal, grad,
+    inst); ``tap(name, dy, dx) -> (tap_array, valid)`` supplies the
+    shifted fields — dense rolls (shift2d) in the single-device path, or
+    halo-exchanged local slices in the shard_map path
+    (parallel/halo.py denoise_channel_sharded). One body, two transports:
+    numerics are identical by construction."""
+    depth, normal, grad, inst = guides
+    kernel = ATROUS_KERNEL
+    lum_c = luminance(irradiance)
+    center_w = kernel[1][1]
+    # NaN scrub matches denoise.wgsl:190-196.
+    nan_c = jnp.any(jnp.isnan(irradiance) | (irradiance > 3.0e38), axis=-1)
+    irr_c = jnp.where(nan_c[..., None], 0.0, irradiance)
+    sum_irr = irr_c * center_w
+    sum_w = jnp.where(nan_c, 0.0, center_w)
+
+    if settings.firefly_filtering:
+        ff_m1 = jnp.zeros_like(lum_c)
+        ff_m2 = jnp.zeros_like(lum_c)
+        ff_n = jnp.zeros_like(lum_c)
+
+    for dx, dy in _OFFSETS:
+        s_irr, valid = tap("irr", dy, dx)
+        s_norm, _ = tap("normal", dy, dx)
+        s_depth, _ = tap("depth", dy, dx)
+        s_inst, _ = tap("inst", dy, dx)
+        s_lum = luminance(s_irr)
+        nan_s = jnp.any(jnp.isnan(s_irr) | (s_irr > 3.0e38), axis=-1)
+        ok = valid & ~nan_s
+
+        w = (
+            normal_weight(normal, s_norm)
+            * depth_weight(depth, s_depth, grad, (dx, dy))
+            * instance_weight(inst, s_inst)
+            * luminance_weight(lum_c, s_lum, var)
+        )
+        w = jnp.clip(w, 0.0, 1.0) * kernel[dy + 1][dx + 1]
+        w = jnp.where(ok, w, 0.0)
+        # Edge-stopping weights are guides, not signal: detach them so
+        # the filter is linear in irradiance. This avoids the infinite
+        # d/dv of variance^0.25 at v=0 (NaN grads) and matches the
+        # usual differentiable-SVGF formulation.
+        w = jax.lax.stop_gradient(w)
+        sum_irr = sum_irr + jnp.where(ok[..., None], s_irr, 0.0) * w[..., None]
+        sum_w = sum_w + w
+
+        if settings.firefly_filtering:
+            ff_m1 = ff_m1 + jnp.where(ok, s_lum, 0.0)
+            ff_m2 = ff_m2 + jnp.where(ok, s_lum * s_lum, 0.0)
+            ff_n = ff_n + jnp.where(ok, 1.0, 0.0)
+
+    new_irr = jnp.where(
+        (sum_w < 0.0001)[..., None], 0.0, sum_irr / jnp.maximum(sum_w[..., None], 0.0001)
+    )
+
+    if settings.firefly_filtering:
+        ff_mean = ff_m1 / jnp.maximum(ff_n, 1.0)
+        ff_var = ff_m2 / jnp.maximum(ff_n, 1.0) - ff_mean * ff_mean
+        fire = lum_c > ff_mean + 3.0 * jnp.sqrt(jnp.maximum(ff_var, 0.0))
+        scale = jnp.where(fire, ff_mean / jnp.maximum(lum_c, 1e-8), 1.0)
+        new_irr = new_irr * scale[..., None]
+
+    return new_irr
+
+
+def dense_tap(fields, step: int):
+    """Dense (single-device / GSPMD) tap transport: whole-array rolls."""
+
+    def tap(name, dy, dx):
+        return shift2d(fields[name], dy * step, dx * step)
+
+    return tap
+
+
 def denoise_channel(
     radiance,  # (rh, rw, 3) channel output (post temporal/spatial)
     variance,  # (rh, rw)
@@ -106,66 +181,13 @@ def denoise_channel(
 
     irradiance = demodulate(radiance, albedo_rr)
     var = filtered_variance(variance)
-    kernel = ATROUS_KERNEL
 
     for step in STEP_SIZES:
-        lum_c = luminance(irradiance)
-        center_w = kernel[1][1]
-        # NaN scrub matches denoise.wgsl:190-196.
-        nan_c = jnp.any(jnp.isnan(irradiance) | (irradiance > 3.0e38), axis=-1)
-        irr_c = jnp.where(nan_c[..., None], 0.0, irradiance)
-        sum_irr = irr_c * center_w
-        sum_w = jnp.where(nan_c, 0.0, center_w)
-
-        if settings.firefly_filtering:
-            ff_m1 = jnp.zeros_like(lum_c)
-            ff_m2 = jnp.zeros_like(lum_c)
-            ff_n = jnp.zeros_like(lum_c)
-
-        for dx, dy in _OFFSETS:
-            s_irr, valid = shift2d(irradiance, dy * step, dx * step)
-            s_norm, _ = shift2d(normal, dy * step, dx * step)
-            s_depth, _ = shift2d(depth, dy * step, dx * step)
-            s_inst, _ = shift2d(inst, dy * step, dx * step)
-            s_lum = luminance(s_irr)
-            nan_s = jnp.any(jnp.isnan(s_irr) | (s_irr > 3.0e38), axis=-1)
-            ok = valid & ~nan_s
-
-            w = (
-                normal_weight(normal, s_norm)
-                * depth_weight(depth, s_depth, grad, (dx, dy))
-                * instance_weight(inst, s_inst)
-                * luminance_weight(lum_c, s_lum, var)
-            )
-            w = jnp.clip(w, 0.0, 1.0) * kernel[dy + 1][dx + 1]
-            w = jnp.where(ok, w, 0.0)
-            # Edge-stopping weights are guides, not signal: detach them so
-            # the filter is linear in irradiance. This avoids the infinite
-            # d/dv of variance^0.25 at v=0 (NaN grads) and matches the
-            # usual differentiable-SVGF formulation.
-            w = jax.lax.stop_gradient(w)
-            sum_irr = sum_irr + jnp.where(ok[..., None], s_irr, 0.0) * w[..., None]
-            sum_w = sum_w + w
-
-            if settings.firefly_filtering:
-                ff_m1 = ff_m1 + jnp.where(ok, s_lum, 0.0)
-                ff_m2 = ff_m2 + jnp.where(ok, s_lum * s_lum, 0.0)
-                ff_n = ff_n + jnp.where(ok, 1.0, 0.0)
-
-        new_irr = jnp.where(
-            (sum_w < 0.0001)[..., None], 0.0, sum_irr / jnp.maximum(sum_w[..., None], 0.0001)
+        fields = {"irr": irradiance, "normal": normal, "depth": depth, "inst": inst}
+        irradiance = atrous_level(
+            irradiance, var, (depth, normal, grad, inst), settings,
+            dense_tap(fields, step),
         )
-
-        if settings.firefly_filtering:
-            ff_mean = ff_m1 / jnp.maximum(ff_n, 1.0)
-            ff_var = ff_m2 / jnp.maximum(ff_n, 1.0) - ff_mean * ff_mean
-            fire = lum_c > ff_mean + 3.0 * jnp.sqrt(jnp.maximum(ff_var, 0.0))
-            scale = jnp.where(
-                fire, ff_mean / jnp.maximum(lum_c, 1e-8), 1.0
-            )
-            new_irr = new_irr * scale[..., None]
-
-        irradiance = new_irr
 
     out = irradiance * albedo_rr  # re-modulate (denoise.wgsl:314-315)
     return jnp.where(background[..., None], 0.0, out)

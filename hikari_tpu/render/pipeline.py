@@ -61,8 +61,14 @@ def render_frame(
     state: FrameState,
     settings: RenderSettings,
     noise_bank=None,
+    denoise_fn=None,
 ):
-    """Render one frame. Returns (RenderOutputs, FrameState)."""
+    """Render one frame. Returns (RenderOutputs, FrameState).
+
+    ``denoise_fn``: optional replacement channel denoiser with the
+    signature of render/denoise.denoise_channel — used by the sharded
+    pipeline to swap in the manual-halo-exchange denoiser
+    (parallel/halo.denoise_channel_sharded)."""
     if noise_bank is None:
         noise_bank = jnp.asarray(blue_noise_bank())
     frame_number = state.frame_number
@@ -205,7 +211,20 @@ def render_frame(
         ind_temporal = state.indirect_temporal
 
     # ---- POST PROCESS ----
-    if settings.denoise:
+    if settings.denoise and denoise_fn is not None:
+        # Custom channel denoiser (e.g. the shard_map manual-halo path):
+        # plain loop, no vmap (shard_map under vmap is not supported).
+        albedo_rr = _albedo_at_render_res(albedo, gbuffer, settings, frame_number)
+        dn = ckpt(
+            lambda rad, var: denoise_fn(
+                rad, var, albedo_rr, gbuffer, frame_number, settings
+            ),
+            "denoise",
+        )
+        direct_d = dn(direct_out, direct_var)
+        em_d = dn(em_out, em_var)
+        ind_d = dn(ind_out, ind_var)
+    elif settings.denoise:
         albedo_rr = _albedo_at_render_res(albedo, gbuffer, settings, frame_number)
         # vmap the 3 lighting channels through one denoiser graph (the
         # reference dispatches the same pipeline 3x, post_process.rs:1190).
