@@ -118,8 +118,6 @@ def main():
         o, d = make_rays(buffers, args.rays)
         print(f"# {name}: {buffers.num_tris} triangles", file=sys.stderr)
         for method in args.backends.split(","):
-            if method == "pallas" and buffers.num_tris > 200_000:
-                continue  # table exceeds VMEM; BVH path covers this class
 
             def run():
                 h = trace_rays(buffers, o, d, method=method)

@@ -123,6 +123,11 @@ class RenderSettings:
     # safety cap for the stackless BVH walk (worst-case node visits)
     max_traversal_steps: int = 0  # 0 = use node_count (exact worst case)
 
+    # Bandwidth-pack the cross-frame reservoir state to f16 (positions stay
+    # f32), mirroring the reference's 64-byte PackedReservoir
+    # (light.wgsl:35-43). Storage-only; passes compute in f32.
+    reservoir_f16: bool = True
+
     # Rematerialize each render pass under autodiff (jax.checkpoint):
     # trades ~2x backward FLOPs for O(passes) instead of O(ops) residual
     # memory — required for 1080p fwd+grad on a 16 GB chip.

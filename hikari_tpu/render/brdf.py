@@ -121,7 +121,14 @@ def retrieve_surface(scene, material_index, uv=None) -> Surface:
     branch — one XLA executable per variant, like the reference's
     pipeline key); otherwise each texture slot is sampled from the uniform
     stack and multiplied into the factors. ``material_index`` may be -1
-    (miss) — clamped gather, callers mask."""
+    (miss) — clamped gather, callers mask.
+
+    Normal maps: the reference uploads ``normal_map_texture`` in
+    GpuStandardMaterial (mod.rs:216) but never samples it — the
+    ``normal_texture`` loads in light.wgsl (:1035/:1071/:1289) are the
+    G-buffer normal MRT, and ``retreive_surface`` touches only
+    base/emissive/metallic-roughness/occlusion. Parity therefore means
+    keeping the slot (scene.mat_normal_map_texture) unsampled."""
     safe = jnp.maximum(material_index, 0)
     base_color = gather_channels(scene.mat_base_color, safe)
     emissive = gather_channels(scene.mat_emissive, safe)

@@ -102,6 +102,27 @@ def render_frame(
 
         return wrapped
 
+    # Unpack the f16-stored reservoir state to f32 compute precision
+    # (render/restir.py compress/decompress; reference PackedReservoir).
+    if settings.reservoir_f16:
+        from hikari_tpu.render.restir import decompress_reservoir
+
+        state = FrameState(
+            **{
+                **{f: getattr(state, f) for f in state.__dataclass_fields__},
+                **{
+                    k: decompress_reservoir(getattr(state, k))
+                    for k in (
+                        "direct_temporal",
+                        "emissive_temporal",
+                        "indirect_temporal",
+                        "de_spatial",
+                        "indirect_spatial",
+                    )
+                },
+            }
+        )
+
     # ---- PREPASS (G-buffer by primary rays) ----
     gbuffer = ckpt(
         lambda sc: render_gbuffer(sc, camera, frame_number, settings),
@@ -312,6 +333,15 @@ def render_frame(
         image,
     )
 
+    if settings.reservoir_f16:
+        from hikari_tpu.render.restir import compress_reservoir
+
+        direct_temporal = compress_reservoir(direct_temporal)
+        em_temporal = compress_reservoir(em_temporal)
+        ind_temporal = compress_reservoir(ind_temporal)
+        de_spatial = compress_reservoir(de_spatial)
+        indirect_spatial = compress_reservoir(indirect_spatial)
+
     new_state = FrameState(
         frame_number=frame_number + 1,
         prev_gbuffer=gbuffer,
@@ -349,16 +379,20 @@ def initial_state(settings: RenderSettings) -> FrameState:
         if settings.upscale.mode == UpscaleMode.SMAA_TU4X
         else (rh, rw)
     )
-    from hikari_tpu.render.restir import Reservoir
+    from hikari_tpu.render.restir import Reservoir, compress_reservoir
+
+    def res():
+        r = Reservoir.zeros((rh, rw))
+        return compress_reservoir(r) if settings.reservoir_f16 else r
 
     return FrameState(
         frame_number=jnp.zeros((), dtype=jnp.int32),
         prev_gbuffer=GBuffer.zeros((h, w)),
-        direct_temporal=Reservoir.zeros((rh, rw)),
-        emissive_temporal=Reservoir.zeros((rh, rw)),
-        indirect_temporal=Reservoir.zeros((rh, rw)),
-        de_spatial=Reservoir.zeros((rh, rw)),
-        indirect_spatial=Reservoir.zeros((rh, rw)),
+        direct_temporal=res(),
+        emissive_temporal=res(),
+        indirect_temporal=res(),
+        de_spatial=res(),
+        indirect_spatial=res(),
         prev_tonemapped=jnp.zeros((rh, rw, 4)),
         prev_taa=jnp.zeros(taa_hw + (4,)),
         prev_upscaled=jnp.zeros((2 * rh, 2 * rw, 4)),

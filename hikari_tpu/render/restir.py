@@ -196,6 +196,60 @@ def reservoir_variance(r: Reservoir, max_variance: float) -> jax.Array:
     return jnp.minimum(var, max_variance)
 
 
+def compress_reservoir(r: Reservoir) -> Reservoir:
+    """Bandwidth packing of the cross-frame reservoir state, mirroring the
+    reference's 64-byte ``PackedReservoir`` (light.wgsl:35-43): radiance/
+    random/count/w/w_sum/w2_sum stored f16 (reference: 2x16float /
+    2x16unorm), normals f16 (reference: 8snorm — coarser), lifetime f16,
+    positions kept FULL f32 (reference: RGBA32F — geometric validation
+    needs them), instance i32. Storage-only: every pass upcasts to f32 on
+    read (decompress_reservoir), so compute precision is unchanged. f16
+    (not bf16): reservoir counts accumulate by +1 up to 800 and need the
+    10-bit mantissa (exact integers to 2048)."""
+    f16 = jnp.float16
+
+    def cvt(x, dtype):
+        return x.astype(dtype)
+
+    return Reservoir(
+        s=Sample(
+            radiance=cvt(r.s.radiance, f16),
+            random=cvt(r.s.random, f16),
+            visible_position=r.s.visible_position.astype(jnp.float32),
+            visible_normal=cvt(r.s.visible_normal, f16),
+            visible_instance=r.s.visible_instance.astype(jnp.int32),
+            sample_position=r.s.sample_position.astype(jnp.float32),
+            sample_normal=cvt(r.s.sample_normal, f16),
+        ),
+        count=cvt(r.count, f16),
+        lifetime=cvt(r.lifetime, f16),
+        w=cvt(r.w, f16),
+        w_sum=cvt(r.w_sum, f16),
+        w2_sum=cvt(r.w2_sum, f16),
+    )
+
+
+def decompress_reservoir(r: Reservoir) -> Reservoir:
+    """Upcast a packed reservoir back to f32 compute precision."""
+    f32 = jnp.float32
+    return Reservoir(
+        s=Sample(
+            radiance=r.s.radiance.astype(f32),
+            random=r.s.random.astype(f32),
+            visible_position=r.s.visible_position,
+            visible_normal=r.s.visible_normal.astype(f32),
+            visible_instance=r.s.visible_instance,
+            sample_position=r.s.sample_position,
+            sample_normal=r.s.sample_normal.astype(f32),
+        ),
+        count=r.count.astype(f32),
+        lifetime=r.lifetime.astype(f32),
+        w=r.w.astype(f32),
+        w_sum=r.w_sum.astype(f32),
+        w2_sum=r.w2_sum.astype(f32),
+    )
+
+
 def finalize_w(r: Reservoir, target_luminance) -> Reservoir:
     """Unbiased contribution weight W = w_sum / (count * p_target)
     (reference light.wgsl:1216-1217). The quotient's backward is computed

@@ -100,7 +100,19 @@ def trace_rays(
     hi = per_ray(range_hi, scene.num_tris).astype(jnp.int32)
 
     if method == "auto":
-        method = "bruteforce" if scene.num_tris <= bruteforce_max_tris else "bvh"
+        # Measured on v5e (bench_trace.py, 1M rays): XLA dense wins the
+        # small-scene class (fuses into the surrounding pipeline); the
+        # streamed Pallas kernel wins every larger measured size (95k
+        # tris: 0.090 Mrays/s vs 0.074 dense vs 0.018 walk). The lockstep
+        # walk is gather-bound and currently never fastest on TPU; it
+        # remains the scalable path on backends without Pallas (CPU
+        # interpret mode is test-only).
+        if scene.num_tris <= bruteforce_max_tris:
+            method = "bruteforce"
+        elif jax.default_backend() == "tpu":
+            method = "pallas"
+        else:
+            method = "bvh"
 
     if method == "bruteforce":
         hit = _trace_bruteforce(scene, o, d, maxd, excl, lo, hi)

@@ -6,19 +6,20 @@ The reference's hot loop is the per-ray stackless BVH walk
 triangle-block testing; this module implements that inner loop as a
 hand-written Pallas kernel shaped for the VPU's (8, 128) tiles:
 
-* the grid partitions rays into blocks of RAY_BLOCK = 128 lanes;
-* triangles ride the 8 SUBLANES: each inner step loads one (8, 16)
-  packed-triangle tile and tests 8 triangles x 128 rays = 1024 pairs per
-  vector op, with every operand a cheap (8,1)->(8,128) or
-  (1,128)->(8,128) broadcast — no scalar extracts (the round-1 kernel's
-  per-triangle scalar loads were the Mosaic bottleneck);
-* the running closest hit is kept PER SUBLANE (lane j holds the best
-  among triangles with index = j mod 8), so the inner loop has zero
-  cross-sublane reductions; one 8-way select tree at the end of the ray
-  block resolves the final winner;
-* the full precomputed triangle table (plane + barycentric dual basis,
-  trace/intersect.py) is VMEM-resident — up to ~200k triangles; larger
-  scenes take the BVH walk path (trace/api.py method="bvh").
+* grid = (ray blocks, triangle tiles): rays ride the 128 LANES; the packed
+  triangle table streams through VMEM one (TRI_TILE, 16) block per inner
+  grid step (HBM->VMEM pipelined by Pallas), so scene size is unbounded —
+  the round-1 kernel kept the whole table VMEM-resident and OOM'd >40k
+  triangles;
+* within a step, triangles ride the 8 SUBLANES: each inner iteration loads
+  one (8, 16) tile and tests 8 triangles x 128 rays = 1024 pairs per
+  vector op, every operand a cheap (8,1)->(8,128) or (1,128)->(8,128)
+  broadcast — no scalar extracts (the round-1 kernel's per-triangle scalar
+  loads were the Mosaic bottleneck);
+* the running closest hit lives in VMEM scratch PER SUBLANE (sublane j
+  holds the best among triangles with index = j mod 8), persisting across
+  triangle grid steps; zero cross-sublane reductions in the hot loop; one
+  8-way select tree when the last triangle tile retires.
 
 Same contract as the XLA brute-force path (trace/api.py): max distance,
 instance exclusion, primitive-range restriction; drop-in
@@ -39,44 +40,30 @@ from hikari_tpu.config import F32_EPSILON, F32_MAX
 
 RAY_BLOCK = 128  # rays per grid step (one lane tile)
 TRI_SUBLANES = 8  # triangles per inner iteration (one sublane tile)
+TRI_TILE = 2048  # triangles streamed per grid step (128 KB of VMEM)
 
 
-def _kernel(
-    o_ref,  # (1, 3, RAY_BLOCK) ray origins
-    d_ref,  # (1, 3, RAY_BLOCK) ray directions
-    maxd_ref,  # (1, 1, RAY_BLOCK)
-    excl_ref,  # (1, 1, RAY_BLOCK) f32 (instance id)
-    lo_ref,  # (1, 1, RAY_BLOCK) f32 (prim range)
-    hi_ref,  # (1, 1, RAY_BLOCK) f32
-    tri_ref,  # (P, 16) packed triangle data (VMEM resident)
-    t_out,  # (1, 1, RAY_BLOCK)
-    prim_out,  # (1, 1, RAY_BLOCK) int32
-    u_out,  # (1, 1, RAY_BLOCK)
-    v_out,  # (1, 1, RAY_BLOCK)
-):
-    P = tri_ref.shape[0]
-    S = TRI_SUBLANES
-    B = RAY_BLOCK
+def _load_rays(o_ref, d_ref, maxd_ref, excl_ref, lo_ref, hi_ref):
+    S, B = TRI_SUBLANES, RAY_BLOCK
 
     def bc_ray(x):  # (B,) -> (S, B) sublane broadcast
         return jnp.broadcast_to(x.reshape(1, B), (S, B))
 
-    ox = bc_ray(o_ref[0, 0, :])
-    oy = bc_ray(o_ref[0, 1, :])
-    oz = bc_ray(o_ref[0, 2, :])
-    dx = bc_ray(d_ref[0, 0, :])
-    dy = bc_ray(d_ref[0, 1, :])
-    dz = bc_ray(d_ref[0, 2, :])
-    maxd = bc_ray(maxd_ref[0, 0, :])
-    excl = bc_ray(excl_ref[0, 0, :])
-    lo = bc_ray(lo_ref[0, 0, :])
-    hi = bc_ray(hi_ref[0, 0, :])
+    return (
+        bc_ray(o_ref[0, 0, :]), bc_ray(o_ref[0, 1, :]), bc_ray(o_ref[0, 2, :]),
+        bc_ray(d_ref[0, 0, :]), bc_ray(d_ref[0, 1, :]), bc_ray(d_ref[0, 2, :]),
+        bc_ray(maxd_ref[0, 0, :]), bc_ray(excl_ref[0, 0, :]),
+        bc_ray(lo_ref[0, 0, :]), bc_ray(hi_ref[0, 0, :]),
+    )
 
-    # Per-sublane triangle index offset j (int iota -> f32: Mosaic only
-    # vectorizes integer iota).
+
+def _tri_loop(tri_ref, rays, base, n_iters, carry):
+    """fori_loop over (8, 16) sublane tiles of ``tri_ref``, testing 8
+    triangles x 128 rays per vector op against the per-sublane running
+    best in ``carry``. ``base``: global prim id of tri_ref row 0."""
+    S, B = TRI_SUBLANES, RAY_BLOCK
+    ox, oy, oz, dx, dy, dz, maxd, excl, lo, hi = rays
     joff = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0).astype(jnp.float32)
-
-    n_blocks = P // S
 
     def body(bi, carry):
         best_t, best_prim, best_u, best_v = carry
@@ -91,7 +78,7 @@ def _kernel(
         cn, cu, cv = c(9), c(10), c(11)
         valid_tri = c(12)
         inst = c(13)
-        prim_id = joff + (bi * S).astype(jnp.float32)  # (8,128) f32 ids
+        prim_id = joff + base + (bi * S).astype(jnp.float32)
 
         dn = dx * nx + dy * ny + dz * nz
         on = ox * nx + oy * ny + oz * nz
@@ -124,16 +111,13 @@ def _kernel(
             jnp.where(ok, v, best_v),
         )
 
-    init = (
-        jnp.minimum(maxd, F32_MAX),
-        jnp.full((S, B), -1.0, dtype=jnp.float32),
-        jnp.zeros((S, B)),
-        jnp.zeros((S, B)),
-    )
-    t8, prim8, u8, v8 = jax.lax.fori_loop(0, n_blocks, body, init)
+    return jax.lax.fori_loop(0, n_iters, body, carry)
 
-    # Cross-sublane select tree: resolve the per-ray winner among the 8
-    # per-sublane running bests (log2(8) = 3 halving steps).
+
+def _reduce_sublanes(t8, p8, u8, v8, t_out, prim_out, u_out, v_out):
+    """Cross-sublane select tree: resolve the per-ray winner among the 8
+    per-sublane running bests (log2(8) = 3 halving steps)."""
+
     def halve(t, p, u, v, s):
         t_a, t_b = t[:s], t[s : 2 * s]
         better = t_b < t_a
@@ -144,7 +128,7 @@ def _kernel(
             jnp.where(better, v[s : 2 * s], v[:s]),
         )
 
-    t4, p4, u4, v4 = halve(t8, prim8, u8, v8, 4)
+    t4, p4, u4, v4 = halve(t8, p8, u8, v8, 4)
     t2, p2, u2, v2 = halve(t4, p4, u4, v4, 2)
     t1, p1, u1, v1 = halve(t2, p2, u2, v2, 1)
 
@@ -154,12 +138,74 @@ def _kernel(
     v_out[0, 0, :] = v1[0]
 
 
+def _kernel_resident(
+    o_ref, d_ref, maxd_ref, excl_ref, lo_ref, hi_ref, tri_ref,
+    t_out, prim_out, u_out, v_out,
+):
+    """Fast path: the whole (padded) triangle table is VMEM-resident and
+    the running best lives in registers across one fori_loop — no scratch
+    round-trips, 1D grid over ray blocks. Used when the table fits
+    (<= TRI_TILE triangles)."""
+    S, B = TRI_SUBLANES, RAY_BLOCK
+    rays = _load_rays(o_ref, d_ref, maxd_ref, excl_ref, lo_ref, hi_ref)
+    maxd = rays[6]
+    init = (
+        jnp.minimum(maxd, F32_MAX),
+        jnp.full((S, B), -1.0, dtype=jnp.float32),
+        jnp.zeros((S, B)),
+        jnp.zeros((S, B)),
+    )
+    carry = _tri_loop(
+        tri_ref, rays, jnp.float32(0.0), tri_ref.shape[0] // S, init
+    )
+    _reduce_sublanes(*carry, t_out, prim_out, u_out, v_out)
+
+
+def _kernel_streamed(
+    o_ref, d_ref, maxd_ref, excl_ref, lo_ref, hi_ref, tri_ref,
+    t_out, prim_out, u_out, v_out,
+    t8, p8, u8, v8,
+):
+    """Streaming path: grid = (ray blocks, triangle tiles); one
+    (TRI_TILE, 16) block per inner step (HBM->VMEM pipelined by Pallas),
+    per-sublane running best persisted in VMEM scratch across tiles.
+    Unbounded scene size."""
+    S, B = TRI_SUBLANES, RAY_BLOCK
+    tj = pl.program_id(1)
+    n_tri_steps = pl.num_programs(1)
+    rays = _load_rays(o_ref, d_ref, maxd_ref, excl_ref, lo_ref, hi_ref)
+    maxd = rays[6]
+
+    @pl.when(tj == 0)
+    def _init():
+        t8[:, :] = jnp.minimum(maxd, F32_MAX)
+        p8[:, :] = jnp.full((S, B), -1.0, dtype=jnp.float32)
+        u8[:, :] = jnp.zeros((S, B))
+        v8[:, :] = jnp.zeros((S, B))
+
+    tile_base = (tj * TRI_TILE).astype(jnp.float32)
+    carry = (t8[:, :], p8[:, :], u8[:, :], v8[:, :])
+    bt, bp, bu, bv = _tri_loop(tri_ref, rays, tile_base, TRI_TILE // S, carry)
+    t8[:, :] = bt
+    p8[:, :] = bp
+    u8[:, :] = bu
+    v8[:, :] = bv
+
+    @pl.when(tj == n_tri_steps - 1)
+    def _finalize():
+        _reduce_sublanes(
+            t8[:, :], p8[:, :], u8[:, :], v8[:, :],
+            t_out, prim_out, u_out, v_out,
+        )
+
+
 def pack_triangles(scene) -> jax.Array:
-    """(P, 16) packed per-triangle data: n(3) eu(3) ev(3) cn cu cv valid
-    inst pad(2). Row-major so one (8, 16) sublane tile serves 8
-    triangles; f32 ids keep every kernel operand in one dtype."""
+    """(P', 16) packed per-triangle data, P' padded to TRI_TILE: n(3)
+    eu(3) ev(3) cn cu cv valid inst pad(2). Row-major so one (8, 16)
+    sublane tile serves 8 triangles; f32 ids keep every kernel operand in
+    one dtype (exact for ids < 2^24)."""
     P = scene.tri_n.shape[0]
-    return jnp.concatenate(
+    packed = jnp.concatenate(
         [
             scene.tri_n,
             scene.tri_eu,
@@ -173,6 +219,18 @@ def pack_triangles(scene) -> jax.Array:
         ],
         axis=1,
     )
+    # Resident path (<= TRI_TILE tris): pad only to a sublane multiple so
+    # small scenes don't iterate over a full tile of padding; streaming
+    # path: pad to whole tiles.
+    if P <= TRI_TILE:
+        Pp = -(-P // TRI_SUBLANES) * TRI_SUBLANES
+    else:
+        Pp = -(-P // TRI_TILE) * TRI_TILE
+    if Pp != P:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((Pp - P, 16), packed.dtype)]
+        )
+    return packed
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -181,6 +239,7 @@ def trace_pallas(packed_tris, o, d, maxd, excl, lo, hi, interpret=False):
     multiple of RAY_BLOCK (caller pads)."""
     R = o.shape[0]
     G = R // RAY_BLOCK
+    GT = max(1, packed_tris.shape[0] // TRI_TILE)
 
     o_t = o.T.reshape(3, G, RAY_BLOCK).swapaxes(0, 1)  # (G, 3, B)
     d_t = d.T.reshape(3, G, RAY_BLOCK).swapaxes(0, 1)
@@ -188,36 +247,47 @@ def trace_pallas(packed_tris, o, d, maxd, excl, lo, hi, interpret=False):
     def row(x):
         return x.astype(jnp.float32).reshape(G, 1, RAY_BLOCK)
 
-    ray_spec = pl.BlockSpec(
-        (1, 1, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-    vec_spec = pl.BlockSpec(
-        (1, 3, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-
-    grid_spec = pl.GridSpec(
-        grid=(G,),
-        in_specs=[
-            vec_spec,
-            vec_spec,
-            ray_spec,
-            ray_spec,
-            ray_spec,
-            ray_spec,
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # full triangle table
-        ],
-        out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
-    )
+    if GT == 1:
+        ray_spec = pl.BlockSpec(
+            (1, 1, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        vec_spec = pl.BlockSpec(
+            (1, 3, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        kernel = _kernel_resident
+        grid = (G,)
+        tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole table
+        scratch = []
+    else:
+        ray_spec = pl.BlockSpec(
+            (1, 1, RAY_BLOCK), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        vec_spec = pl.BlockSpec(
+            (1, 3, RAY_BLOCK), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        kernel = _kernel_streamed
+        grid = (G, GT)
+        tri_spec = pl.BlockSpec(
+            (TRI_TILE, 16), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+        )
+        scratch = [
+            pltpu.VMEM((TRI_SUBLANES, RAY_BLOCK), jnp.float32)
+            for _ in range(4)
+        ]
 
     t, prim, u, v = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
+        kernel,
+        grid=grid,
+        in_specs=[vec_spec, vec_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+                  tri_spec],
+        out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
         out_shape=[
             jax.ShapeDtypeStruct((G, 1, RAY_BLOCK), jnp.float32),
             jax.ShapeDtypeStruct((G, 1, RAY_BLOCK), jnp.int32),
             jax.ShapeDtypeStruct((G, 1, RAY_BLOCK), jnp.float32),
             jax.ShapeDtypeStruct((G, 1, RAY_BLOCK), jnp.float32),
         ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(
         o_t,

@@ -37,3 +37,22 @@ def test_pallas_exclusion_and_range(cornell_buffers, rng):
     p = np.asarray(h2.prim)
     ok = p >= 0
     assert ((p[ok] >= lo) & (p[ok] < hi)).all()
+
+
+def test_pallas_triangle_streaming(cornell_buffers, monkeypatch):
+    """Multiple triangle grid steps (TRI_TILE streaming) accumulate the
+    same result as a single-tile pass — the unbounded-scene path."""
+    import hikari_tpu.trace.pallas_kernel as pk
+    from hikari_tpu.trace import trace_rays
+
+    rng = np.random.default_rng(9)
+    o = jnp.asarray(rng.uniform(-0.9, 0.9, (256, 3)).astype(np.float32))
+    o = o.at[:, 1].add(1.0)
+    d = jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    ref = trace_rays(cornell_buffers, o, d, method="bruteforce")
+    monkeypatch.setattr(pk, "TRI_TILE", 64)  # cornell pads to 128 -> 2 steps
+    multi = trace_rays(cornell_buffers, o, d, method="pallas")
+    np.testing.assert_array_equal(np.asarray(ref.prim), np.asarray(multi.prim))
+    np.testing.assert_allclose(np.asarray(ref.t), np.asarray(multi.t), atol=1e-4)
