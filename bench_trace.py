@@ -92,7 +92,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=1 << 20)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--backends", default="bruteforce,bvh,pallas")
+    ap.add_argument("--backends", default="bruteforce,bvh,pallas,tiled")
     args = ap.parse_args()
 
     import jax
@@ -118,9 +118,20 @@ def main():
         o, d = make_rays(buffers, args.rays)
         print(f"# {name}: {buffers.num_tris} triangles", file=sys.stderr)
         for method in args.backends.split(","):
+            # The remote-TPU tunnel kills single executions over ~30 s AND
+            # wedges the client afterwards — size each call to stay well
+            # under (dense pair budget ~4e10 pairs ~ 6 s; lockstep walk is
+            # far slower per ray on big scenes).
+            if method == "bvh":
+                budget = args.rays if buffers.num_tris <= 10_000 else 1 << 16
+            else:
+                budget = max(1 << 16, int(4e10) // max(buffers.num_tris, 1))
+            n_rays = min(args.rays, 1 << max(budget, 2).bit_length() - 1)
+            n_rays = max(n_rays, 1 << 14)
+            ob, db = o[:n_rays], d[:n_rays]
 
-            def run():
-                h = trace_rays(buffers, o, d, method=method)
+            def run(oo=ob, dd=db):
+                h = trace_rays(buffers, oo, dd, method=method)
                 return h.t
 
             try:
@@ -140,7 +151,7 @@ def main():
                         r = fn()
                     jax.block_until_ready(r)
                     best = min(best, (time.perf_counter() - t0) / reps)
-                rps = args.rays / best
+                rps = n_rays / best
                 hit_frac = float(np.isfinite(np.asarray(t)).mean())
                 rows.append((name, buffers.num_tris, method, rps))
                 print(

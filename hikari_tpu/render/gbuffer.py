@@ -51,10 +51,17 @@ def render_gbuffer(
         jitter = None
 
     origin, direction = camera.pixel_rays(size, jitter)
+    # Bound primary hits at DISTANCE_MAX (the reference's miss convention,
+    # light.wgsl POSITION/DISTANCE_MAX): near-parallel grazing hits on huge
+    # geometry otherwise return t ~ 1e38, overflowing the clip-space
+    # velocity math into NaN.
+    from hikari_tpu.config import DISTANCE_MAX
+
     hit = trace_rays(
         scene,
         origin,
         direction,
+        max_distance=jnp.float32(DISTANCE_MAX),
         method=settings.tracer,
         bruteforce_max_tris=settings.bruteforce_max_tris,
         max_steps=settings.max_traversal_steps,
@@ -98,6 +105,9 @@ def render_gbuffer(
     clip_prev = prev_world @ prev_view_proj.T
     velocity = clip_to_uv(clip_cur) - clip_to_uv(clip_prev)
     velocity = jnp.where(miss[..., None], 0.0, velocity)
+    # Scrub any residual non-finite (e.g. previous position behind the
+    # camera, w ~ 0) — the reference leaves unrasterized texels cleared.
+    velocity = jnp.where(jnp.isfinite(velocity), velocity, 0.0)
     velocity_uv = jnp.concatenate([velocity, info.uv], axis=-1)
 
     # Depth gradients: screen-space forward differences standing in for the

@@ -100,15 +100,17 @@ def trace_rays(
     hi = per_ray(range_hi, scene.num_tris).astype(jnp.int32)
 
     if method == "auto":
-        # Measured on v5e (bench_trace.py, 1M rays): XLA dense wins the
-        # small-scene class (fuses into the surrounding pipeline); the
-        # streamed Pallas kernel wins every larger measured size (95k
-        # tris: 0.090 Mrays/s vs 0.074 dense vs 0.018 walk). The lockstep
-        # walk is gather-bound and currently never fastest on TPU; it
-        # remains the scalable path on backends without Pallas (CPU
-        # interpret mode is test-only).
+        # Measured on v5e (bench_trace.py, README table): XLA dense wins
+        # the small-scene class (fuses into the surrounding pipeline); the
+        # streamed Pallas kernel wins the few-thousand class (city-8:
+        # 2.1 Mrays/s); tile-binned cluster tracing wins the large class
+        # (helmet 95k tris: 0.37 Mrays/s vs 0.09 pallas vs 0.16 walk).
+        # The gather-bound lockstep walk is never fastest on TPU; it
+        # remains the default on backends without Pallas for mid scenes.
         if scene.num_tris <= bruteforce_max_tris:
             method = "bruteforce"
+        elif scene.num_tris > 16384:
+            method = "tiled"
         elif jax.default_backend() == "tpu":
             method = "pallas"
         else:
@@ -121,6 +123,9 @@ def trace_rays(
         hit = _trace_bvh(scene, o, d, maxd, early, excl, lo, hi, max_steps)
     elif method == "pallas":
         hit = _trace_pallas(scene, o, d, maxd, excl, lo, hi)
+    elif method == "tiled":
+        early = per_ray(early_distance, 0.0).astype(jnp.float32)
+        hit = _trace_tiled(scene, o, d, maxd, early, excl, lo, hi)
     else:
         raise ValueError(f"unknown trace method {method!r}")
 
@@ -251,6 +256,46 @@ def _trace_bruteforce(scene, o, d, maxd, excl, lo, hi):
     hit = Hit(t=t, prim=prim, inst=inst.astype(jnp.int32), u=u, v=v)
     # Name the (small) hit record so pass-level remat can save it instead
     # of replaying the search in the backward sweep.
+    return jax.tree_util.tree_map(
+        lambda x: checkpoint_name(x, "trace_hits"), hit
+    )
+
+
+def _trace_tiled(scene, o, d, maxd, early, excl, lo, hi):
+    """Tile-binned cluster tracing (trace/tiled.py): octant-sorted ray
+    tiles walk per-tile distance-sorted triangle clusters near-to-far."""
+    from hikari_tpu.trace.tiled import TILE_R, trace_tiled
+
+    R = o.shape[0]
+    key = (
+        (d[:, 0] < 0).astype(jnp.int32) * 4
+        + (d[:, 1] < 0).astype(jnp.int32) * 2
+        + (d[:, 2] < 0).astype(jnp.int32)
+    )
+    order = jnp.argsort(key, stable=True)
+    inv_order = jnp.argsort(order, stable=True)
+
+    Rp = -(-R // TILE_R) * TILE_R
+
+    def prep(x, fill=0.0):
+        x = x[order]
+        if Rp == R:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((Rp - R,) + x.shape[1:], fill, dtype=x.dtype)]
+        )
+
+    t, prim, u, v = trace_tiled(
+        scene,
+        prep(o), prep(d, 1.0), prep(maxd), prep(early),
+        prep(excl, -1), prep(lo), prep(hi, 0),
+    )
+    t, prim, u, v = (
+        t[:R][inv_order], prim[:R][inv_order],
+        u[:R][inv_order], v[:R][inv_order],
+    )
+    inst = jnp.where(prim >= 0, scene.tri_inst[jnp.maximum(prim, 0)], -1)
+    hit = Hit(t=t, prim=prim, inst=inst.astype(jnp.int32), u=u, v=v)
     return jax.tree_util.tree_map(
         lambda x: checkpoint_name(x, "trace_hits"), hit
     )
@@ -531,6 +576,13 @@ def hit_info(scene: SceneBuffers, origin, direction, hit: Hit) -> HitInfo:
     uv = uv0 + uu * (uv1 - uv0) + vv * (uv2 - uv0)
 
     miss = hit.prim < 0
+    # Clamp the refined distance to the trace convention's bound: the
+    # refine recompute is numerically unstable for near-parallel grazing
+    # hits (detached t ~ DISTANCE_MAX, refined t can blow past 1e30 and
+    # overflow downstream clip math). Straight-through: value clamped,
+    # gradient untouched (the clamp only ever engages on degenerate
+    # grazing hits whose gradients are meaningless anyway).
+    t = t + jax.lax.stop_gradient(jnp.minimum(t, DISTANCE_MAX) - t)
     pos_hit = origin + direction * t[..., None]
     pos_miss = origin + direction * DISTANCE_MAX
     position = jnp.where(miss[..., None], pos_miss, pos_hit)

@@ -25,6 +25,10 @@ def setup():
         width=24, height=24, upscale=Upscale.none(), denoise=True,
         taa=Taa.NONE, indirect_bounces=1, indirect_spatial_reuse=False,
         emissive_spatial_reuse=False,
+        # f16 reservoir storage quantizes the forward response below FD's
+        # epsilon (AD differentiates the cast exactly; central differences
+        # see rounding steps) — the gate runs on the smooth f32 path.
+        reservoir_f16=False,
     )
     buffers = build_scene_buffers(scene)
     state = initial_state(settings)

@@ -180,3 +180,56 @@ def test_bvh_ray_chunking_equivalence(cornell_buffers, monkeypatch):
     chunked = trace_rays(cornell_buffers, o, d, method="bvh")
     np.testing.assert_array_equal(np.asarray(full.prim), np.asarray(chunked.prim))
     np.testing.assert_allclose(np.asarray(full.t), np.asarray(chunked.t), atol=1e-6)
+
+
+def test_tiled_matches_bruteforce(cornell_buffers):
+    """Tile-binned cluster tracing (trace/tiled.py) returns identical hits
+    to the dense reference on mixed coherent/incoherent rays."""
+    rng = np.random.default_rng(17)
+    o = jnp.asarray(rng.uniform(-0.9, 0.9, (700, 3)).astype(np.float32))
+    o = o.at[:, 1].add(1.0)
+    d = jnp.asarray(rng.normal(size=(700, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    ref = trace_rays(cornell_buffers, o, d, method="bruteforce")
+    til = trace_rays(cornell_buffers, o, d, method="tiled")
+    np.testing.assert_array_equal(np.asarray(ref.prim), np.asarray(til.prim))
+    np.testing.assert_allclose(np.asarray(ref.t), np.asarray(til.t), atol=1e-4)
+
+    # Exclusion + max distance behave identically too.
+    excl = jnp.asarray(rng.integers(-1, 8, (700,)).astype(np.int32))
+    maxd = jnp.asarray(rng.uniform(0.5, 3.0, (700,)).astype(np.float32))
+    ref2 = trace_rays(
+        cornell_buffers, o, d, max_distance=maxd, exclude_instance=excl,
+        method="bruteforce",
+    )
+    til2 = trace_rays(
+        cornell_buffers, o, d, max_distance=maxd, exclude_instance=excl,
+        method="tiled",
+    )
+    np.testing.assert_array_equal(np.asarray(ref2.prim), np.asarray(til2.prim))
+
+
+def test_tiled_multicluster():
+    """Multi-cluster walk (scene > CLUSTER triangles): exact vs dense."""
+    from hikari_tpu.io.scenes import procedural_city, _sun_from_euler
+    from hikari_tpu.scene import build_scene_buffers
+    from hikari_tpu.scene.compile import Scene
+
+    scene = procedural_city(
+        Scene(materials=[], directional_light=_sun_from_euler(-1, 0.6, 0)),
+        blocks=5,
+    )
+    b = build_scene_buffers(scene)
+    assert b.num_tris > 512  # multiple clusters
+
+    rng = np.random.default_rng(23)
+    o = jnp.asarray(rng.uniform(-25, 25, (600, 3)).astype(np.float32))
+    o = o.at[:, 1].set(jnp.abs(o[:, 1]) / 3 + 1.0)
+    d = jnp.asarray(rng.normal(size=(600, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    ref = trace_rays(b, o, d, method="bruteforce")
+    til = trace_rays(b, o, d, method="tiled")
+    np.testing.assert_array_equal(np.asarray(ref.prim), np.asarray(til.prim))
+    np.testing.assert_allclose(np.asarray(ref.t), np.asarray(til.t), atol=1e-3)
