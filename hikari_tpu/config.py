@@ -123,6 +123,17 @@ class RenderSettings:
     # safety cap for the stackless BVH walk (worst-case node visits)
     max_traversal_steps: int = 0  # 0 = use node_count (exact worst case)
 
+    # Emit per-frame health counters in RenderOutputs.stats (background
+    # fraction, non-finite pixel count, channel luminances, reservoir
+    # age) — the observability layer the reference lacked (SURVEY §5).
+    collect_stats: bool = False
+
+    # Keep reservoir RADIANCE attached through the spatial-reuse merge so
+    # spatially-reused light carries parameter gradients (selection stays
+    # detached; see render/spatial.py policy note). Off by default: adds
+    # backward-sweep residuals per tap.
+    spatial_radiance_grads: bool = False
+
     # Bandwidth-pack the cross-frame reservoir state to f16 (positions stay
     # f32), mirroring the reference's 64-byte PackedReservoir
     # (light.wgsl:35-43). Storage-only; passes compute in f32.

@@ -354,6 +354,20 @@ def render_frame(
         prev_taa=prev_taa,
         prev_upscaled=prev_upscaled,
     )
+    stats = None
+    if settings.collect_stats:
+        from hikari_tpu.utils import luminance as _lum
+
+        stats = {
+            "background_fraction": jnp.mean(bg.astype(jnp.float32)),
+            "nonfinite_pixels": jnp.sum(nan_mask.astype(jnp.int32)),
+            "mean_luminance_direct": jnp.mean(_lum(direct_d)),
+            "mean_luminance_emissive": jnp.mean(_lum(em_d)),
+            "mean_luminance_indirect": jnp.mean(_lum(ind_d)),
+            "mean_temporal_count": jnp.mean(direct_temporal.count),
+            "mean_reservoir_lifetime": jnp.mean(direct_temporal.lifetime),
+        }
+
     outputs = RenderOutputs(
         image=image,
         albedo=albedo,
@@ -361,6 +375,7 @@ def render_frame(
         emissive=em_d,
         indirect=ind_d,
         tonemapped=tonemapped,
+        stats=stats,
     )
     return outputs, new_state
 

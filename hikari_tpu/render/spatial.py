@@ -95,9 +95,21 @@ def spatial_reuse_pass(
     # 16-tap fori_loop stacks ~(taps x H x W x C) residuals that exceed
     # chip memory at 1080p. Material/light gradients still flow through
     # the final differentiable shade below; the temporal channels carry
-    # the radiance-chain gradients.
-    temporal = jax.lax.stop_gradient(temporal)
-    spatial_prev = jax.lax.stop_gradient(spatial_prev)
+    # the radiance-chain gradients. With
+    # ``settings.spatial_radiance_grads`` the RADIANCE leaves stay
+    # attached (the merge is linear in radiance given detached weights),
+    # so spatially-reused emissive/indirect light also carries parameter
+    # gradients — selection stays detached either way.
+    def detach(r):
+        det = jax.lax.stop_gradient(r)
+        if not settings.spatial_radiance_grads:
+            return det
+        from dataclasses import replace as _rep
+
+        return _rep(det, s=_rep(det.s, radiance=r.s.radiance))
+
+    temporal = detach(temporal)
+    spatial_prev = detach(spatial_prev)
 
     r = temporal  # load_reservoir(coords), light.wgsl:1520
     q0 = r

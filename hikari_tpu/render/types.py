@@ -89,3 +89,8 @@ class RenderOutputs:
     emissive: jax.Array
     indirect: jax.Array
     tonemapped: jax.Array  # (rh, rw, 4)
+    # Frame health counters (render/pipeline.py frame_stats) — the
+    # metrics/observability layer the reference lacked (SURVEY.md §5):
+    # dict of scalar jnp values, e.g. background fraction, mean temporal
+    # reservoir age, per-channel mean luminance, non-finite pixel count.
+    stats: dict = None

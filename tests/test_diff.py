@@ -154,3 +154,34 @@ def test_firewall_bias_quantified(setup):
     rel = np.abs(g_clip - g_exact).max() / denom
     # Documented bias bound (VERDICT round-1 item 5).
     assert rel < 1e-2, f"firewall bias {rel:.3e} exceeds 1% bound"
+
+
+def test_spatial_radiance_grads_flag():
+    """settings.spatial_radiance_grads keeps reservoir radiance attached
+    through the spatial-reuse merge: gradients stay finite and the
+    emissive-parameter gradient changes vs the fully-detached policy."""
+    scene, cam, _ = cornell_config(size=24)
+    base = RenderSettings(
+        width=24, height=24, upscale=Upscale.none(), denoise=False,
+        taa=Taa.NONE, indirect_bounces=1, indirect_spatial_reuse=True,
+        emissive_spatial_reuse=True, reservoir_f16=False,
+    )
+    buffers = build_scene_buffers(scene)
+    state = initial_state(base)
+
+    # Warm two frames so spatial reservoirs carry real samples.
+    for _ in range(2):
+        _, state = render_frame(buffers, cam, state, base)
+
+    def grad_for(settings):
+        f = _loss_fn(buffers, cam, state, settings, "mat_emissive")
+        return np.asarray(jax.grad(f)(buffers.mat_emissive))
+
+    g_detached = grad_for(base)
+    g_attached = grad_for(base.replace(spatial_radiance_grads=True))
+    assert np.isfinite(g_detached).all()
+    assert np.isfinite(g_attached).all()
+    assert np.abs(g_attached).sum() > 0
+    # The attached policy routes additional gradient through the reuse
+    # merge — the two must differ.
+    assert not np.allclose(g_attached, g_detached)

@@ -163,3 +163,30 @@ def test_motion_vectors():
     # moved +x in world -> +u in screen space (u increases rightward)
     assert vel[hits][:, 0].mean() > 0.01
     assert abs(vel[hits][:, 1].mean()) < 0.01  # no vertical motion
+
+
+def test_frame_stats(cornell_buffers):
+    """collect_stats emits finite per-frame health counters
+    (RenderOutputs.stats) without perturbing the image."""
+    from hikari_tpu.config import RenderSettings, Taa, Upscale
+    from hikari_tpu.io.scenes import cornell_config
+    from hikari_tpu.render import initial_state, render_frame_jit
+
+    _, cam, _ = cornell_config(size=32)
+    base = RenderSettings(
+        width=32, height=32, upscale=Upscale.none(), taa=Taa.NONE,
+        denoise=False,
+    )
+    with_stats = base.replace(collect_stats=True)
+    s0 = initial_state(base)
+    out0, _ = render_frame_jit(cornell_buffers, cam, s0, base)
+    out1, _ = render_frame_jit(cornell_buffers, cam, s0, with_stats)
+    assert out0.stats is None
+    assert out1.stats is not None
+    for k, v in out1.stats.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert 0.0 <= float(out1.stats["background_fraction"]) <= 1.0
+    assert int(out1.stats["nonfinite_pixels"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(out0.image), np.asarray(out1.image), atol=0
+    )
