@@ -92,7 +92,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=1 << 20)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--backends", default="bruteforce,bvh,pallas,tiled")
+    ap.add_argument(
+        "--backends",
+        default="bruteforce,bvh,pallas,tiled,pallas_tiled,scatter",
+    )
     args = ap.parse_args()
 
     import jax
@@ -124,6 +127,14 @@ def main():
             # far slower per ray on big scenes).
             if method == "bvh":
                 budget = args.rays if buffers.num_tris <= 10_000 else 1 << 16
+            elif method == "pallas_tiled":
+                # per-tile early exit: cost scales with visited clusters,
+                # not the dense pair count — full ray budget is safe
+                budget = args.rays
+            elif method == "scatter":
+                # exact entered-pair cost, but the item arrays are
+                # items_per_ray * R wide — cap the footprint
+                budget = 1 << 18
             else:
                 budget = max(1 << 16, int(4e10) // max(buffers.num_tris, 1))
             n_rays = min(args.rays, 1 << max(budget, 2).bit_length() - 1)

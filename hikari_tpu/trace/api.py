@@ -103,15 +103,17 @@ def trace_rays(
         # Measured on v5e (bench_trace.py, README table): XLA dense wins
         # the small-scene class (fuses into the surrounding pipeline); the
         # streamed Pallas kernel wins the few-thousand class (city-8:
-        # 2.1 Mrays/s); tile-binned cluster tracing wins the large class
-        # (helmet 95k tris: 0.37 Mrays/s vs 0.09 pallas vs 0.16 walk).
-        # The gather-bound lockstep walk is never fastest on TPU; it
-        # remains the default on backends without Pallas for mid scenes.
+        # 2.1 Mrays/s); fused per-tile cluster walking (pallas_tiled)
+        # wins the large class — true per-tile early exit instead of the
+        # XLA tiled backend's lockstep-over-all-tiles. The gather-bound
+        # lockstep walk is never fastest on TPU; it remains the default
+        # on backends without Pallas for mid scenes.
+        on_tpu = jax.default_backend() == "tpu"
         if scene.num_tris <= bruteforce_max_tris:
             method = "bruteforce"
         elif scene.num_tris > 16384:
-            method = "tiled"
-        elif jax.default_backend() == "tpu":
+            method = "pallas_tiled" if on_tpu else "tiled"
+        elif on_tpu:
             method = "pallas"
         else:
             method = "bvh"
@@ -126,6 +128,11 @@ def trace_rays(
     elif method == "tiled":
         early = per_ray(early_distance, 0.0).astype(jnp.float32)
         hit = _trace_tiled(scene, o, d, maxd, early, excl, lo, hi)
+    elif method == "pallas_tiled":
+        early = per_ray(early_distance, 0.0).astype(jnp.float32)
+        hit = _trace_pallas_tiled(scene, o, d, maxd, early, excl, lo, hi)
+    elif method == "scatter":
+        hit = _trace_scatter(scene, o, d, maxd, excl, lo, hi)
     else:
         raise ValueError(f"unknown trace method {method!r}")
 
@@ -293,6 +300,99 @@ def _trace_tiled(scene, o, d, maxd, early, excl, lo, hi):
     t, prim, u, v = (
         t[:R][inv_order], prim[:R][inv_order],
         u[:R][inv_order], v[:R][inv_order],
+    )
+    inst = jnp.where(prim >= 0, scene.tri_inst[jnp.maximum(prim, 0)], -1)
+    hit = Hit(t=t, prim=prim, inst=inst.astype(jnp.int32), u=u, v=v)
+    return jax.tree_util.tree_map(
+        lambda x: checkpoint_name(x, "trace_hits"), hit
+    )
+
+
+def _morton3(q):
+    """Interleave 6-bit per-axis cells (..., 3) i32 -> 18-bit Morton."""
+
+    def spread(x):
+        x = (x | (x << 10)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return (
+        (spread(q[..., 0]) << 2)
+        | (spread(q[..., 1]) << 1)
+        | spread(q[..., 2])
+    )
+
+
+def _trace_pallas_tiled(scene, o, d, maxd, early, excl, lo, hi):
+    """Fused Pallas tile-walk (trace/pallas_tiled.py): ray tiles sorted by
+    direction octant + origin Morton cell, each walking its own
+    distance-sorted cluster list with true early exit inside one grid
+    step. Interpreted on non-TPU backends."""
+    from hikari_tpu.trace.pallas_tiled import (
+        TILE_R,
+        pack_clusters,
+        trace_pallas_tiled,
+    )
+
+    R = o.shape[0]
+    octant = (
+        (d[:, 0] < 0).astype(jnp.int32) * 4
+        + (d[:, 1] < 0).astype(jnp.int32) * 2
+        + (d[:, 2] < 0).astype(jnp.int32)
+    )
+    # Origin Morton cell (6 bits/axis over the scene AABB): tiles become
+    # spatially tight, shrinking each tile's cluster union (measured ~15%
+    # fewer visited clusters on FlightHelmet incoherent rays, more at
+    # small tile sizes).
+    smin = scene.inst_min.min(axis=0)
+    smax = scene.inst_max.max(axis=0)
+    cell = jnp.clip(
+        (o - smin) / jnp.maximum(smax - smin, 1e-6) * 63.0, 0.0, 63.0
+    ).astype(jnp.int32)
+    key = (octant << 18) | _morton3(cell)
+    order = jnp.argsort(key, stable=True)
+    inv_order = jnp.argsort(order, stable=True)
+    Rp = -(-R // TILE_R) * TILE_R
+
+    def prep(x, fill=0.0):
+        x = x[order]
+        if Rp == R:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((Rp - R,) + x.shape[1:], fill, dtype=x.dtype)]
+        )
+
+    packed, cmin, cmax, cvalid = pack_clusters(scene)
+    interpret = jax.default_backend() != "tpu"
+    t, prim, u, v = trace_pallas_tiled(
+        packed, cmin, cmax, cvalid,
+        prep(o), prep(d, 1.0), prep(maxd), prep(early),
+        prep(excl, -1), prep(lo), prep(hi, 0),
+        interpret=interpret,
+    )
+    t, prim, u, v = (
+        t[:R][inv_order], prim[:R][inv_order],
+        u[:R][inv_order], v[:R][inv_order],
+    )
+    inst = jnp.where(prim >= 0, scene.tri_inst[jnp.maximum(prim, 0)], -1)
+    hit = Hit(t=t, prim=prim, inst=inst.astype(jnp.int32), u=u, v=v)
+    return jax.tree_util.tree_map(
+        lambda x: checkpoint_name(x, "trace_hits"), hit
+    )
+
+
+def _trace_scatter(scene, o, d, maxd, excl, lo, hi):
+    """Cluster-major wavefront backend (trace/scatter.py): exact
+    per-(ray, cluster) compaction — the incoherent-ray large-scene path.
+    Interpreted on non-TPU backends."""
+    from hikari_tpu.trace import scatter as sc
+
+    packed, cmin, cmax, cvalid = sc.pack_clusters(scene, sc.CLUSTER)
+    interpret = jax.default_backend() != "tpu"
+    t, prim, u, v = sc.trace_scatter(
+        packed, cmin, cmax, cvalid, o, d, maxd, excl, lo, hi,
+        interpret=interpret,
     )
     inst = jnp.where(prim >= 0, scene.tri_inst[jnp.maximum(prim, 0)], -1)
     hit = Hit(t=t, prim=prim, inst=inst.astype(jnp.int32), u=u, v=v)

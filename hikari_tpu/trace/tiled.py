@@ -37,23 +37,23 @@ TILE_R = 512  # rays per tile
 SUB_R = 128  # rays per inner dense sub-block
 
 
-def _cluster_bounds(scene):
+def _cluster_bounds(scene, cluster: int = CLUSTER):
     """(L, 3) min/max cluster AABBs + (L,) validity, from the padded
     triangle buffer (padding rows are degenerate zeros -> masked)."""
     tri = jax.lax.stop_gradient(scene.tri_world)  # (P, 3, 3)
     P = tri.shape[0]
-    L = -(-P // CLUSTER)
-    Pp = L * CLUSTER
+    L = -(-P // cluster)
+    Pp = L * cluster
     if Pp != P:
         tri = jnp.concatenate([tri, jnp.zeros((Pp - P, 3, 3), tri.dtype)])
-    tmin = tri.min(axis=1).reshape(L, CLUSTER, 3)
-    tmax = tri.max(axis=1).reshape(L, CLUSTER, 3)
+    tmin = tri.min(axis=1).reshape(L, cluster, 3)
+    tmax = tri.max(axis=1).reshape(L, cluster, 3)
     valid = scene.tri_valid
     if Pp != valid.shape[0]:
         valid = jnp.concatenate(
             [valid, jnp.zeros((Pp - valid.shape[0],), valid.dtype)]
         )
-    vmask = valid.reshape(L, CLUSTER)  # triangle validity
+    vmask = valid.reshape(L, cluster)  # triangle validity
     big = jnp.float32(F32_MAX)
     cmin = jnp.where(vmask[..., None] > 0, tmin, big).min(axis=1)
     cmax = jnp.where(vmask[..., None] > 0, tmax, -big).max(axis=1)
@@ -86,6 +86,45 @@ def _packed_tris(scene):
     return packed
 
 
+def tile_cluster_entries(cmin, cmax, cvalid, ot, inv_d, maxdt):
+    """Per-tile min cluster entry distances: slab-test each ray against
+    each cluster AABB in (SUB_R, L) sub-blocks. ot/inv_d: (T, TILE_R, 3);
+    maxdt: (T, TILE_R). Returns (T, L) min entry over the tile's rays
+    (F32_MAX where no ray enters the cluster)."""
+
+    def tile_entry(ob, ib, mb):
+        # ob/ib: (SUB_R, 3); mb: (SUB_R,) maxd. -> (L,) min entry over rays
+        t0 = (cmin[None] - ob[:, None]) * ib[:, None]  # (SUB_R, L, 3)
+        t1 = (cmax[None] - ob[:, None]) * ib[:, None]
+        tlo = jnp.minimum(t0, t1).max(axis=-1)
+        thi = jnp.maximum(t0, t1).min(axis=-1)
+        entry = jnp.maximum(tlo, 0.0)
+        hit = (thi >= entry) & (entry < mb[:, None]) & cvalid[None]
+        e = jnp.where(hit, entry, F32_MAX)
+        return e.min(axis=0)  # (L,)
+
+    def per_tile(oT, iT, mT):
+        subs = ot.shape[1] // SUB_R
+        es = [
+            tile_entry(
+                oT[s * SUB_R : (s + 1) * SUB_R],
+                iT[s * SUB_R : (s + 1) * SUB_R],
+                mT[s * SUB_R : (s + 1) * SUB_R],
+            )
+            for s in range(subs)
+        ]
+        return jnp.stack(es).min(axis=0)
+
+    return jax.vmap(per_tile)(ot, inv_d, maxdt)  # (T, L)
+
+
+def safe_inv_dir(d):
+    """1/d with signed epsilon floor (slab-test convention)."""
+    return 1.0 / jnp.where(
+        jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d
+    )
+
+
 def trace_tiled(scene, o, d, maxd, early, excl, lo, hi):
     """Closest-hit over (R,) flat rays; R padded to TILE_R by the caller
     (trace/api.py). Returns (t, prim, u, v) arrays."""
@@ -104,33 +143,8 @@ def trace_tiled(scene, o, d, maxd, early, excl, lo, hi):
     hit_ = hi.reshape(T, TILE_R).astype(jnp.float32)
 
     # ---- phase 1: per-tile cluster entry distances ----
-    inv_d = 1.0 / jnp.where(jnp.abs(dt) < 1e-20,
-                            jnp.where(dt < 0, -1e-20, 1e-20), dt)
-    # Slab test each ray vs each cluster: (T, TILE_R, L) in sub-blocks.
-    def tile_entry(ob, ib, mb):
-        # ob/ib: (SUB_R, 3); mb: (SUB_R,) maxd. -> (L,) min entry over rays
-        t0 = (cmin[None] - ob[:, None]) * ib[:, None]  # (SUB_R, L, 3)
-        t1 = (cmax[None] - ob[:, None]) * ib[:, None]
-        tlo = jnp.minimum(t0, t1).max(axis=-1)
-        thi = jnp.maximum(t0, t1).min(axis=-1)
-        entry = jnp.maximum(tlo, 0.0)
-        hit = (thi >= entry) & (entry < mb[:, None]) & cvalid[None]
-        e = jnp.where(hit, entry, F32_MAX)
-        return e.min(axis=0)  # (L,)
-
-    def per_tile(oT, iT, mT):
-        subs = TILE_R // SUB_R
-        es = [
-            tile_entry(
-                oT[s * SUB_R : (s + 1) * SUB_R],
-                iT[s * SUB_R : (s + 1) * SUB_R],
-                mT[s * SUB_R : (s + 1) * SUB_R],
-            )
-            for s in range(subs)
-        ]
-        return jnp.stack(es).min(axis=0)
-
-    entry_min = jax.vmap(per_tile)(ot, inv_d, maxdt)  # (T, L)
+    inv_d = safe_inv_dir(dt)
+    entry_min = tile_cluster_entries(cmin, cmax, cvalid, ot, inv_d, maxdt)
     order = jnp.argsort(entry_min, axis=1)  # (T, L) near-to-far
     entry_sorted = jnp.take_along_axis(entry_min, order, axis=1)
 

@@ -233,3 +233,138 @@ def test_tiled_multicluster():
     til = trace_rays(b, o, d, method="tiled")
     np.testing.assert_array_equal(np.asarray(ref.prim), np.asarray(til.prim))
     np.testing.assert_allclose(np.asarray(ref.t), np.asarray(til.t), atol=1e-3)
+
+
+def test_pallas_tiled_matches_bruteforce():
+    """Fused Pallas tile-walk (trace/pallas_tiled.py, interpreted on CPU):
+    multi-cluster scene, mixed rays, full feature contract (max/early
+    distance, exclusion, range restriction) vs the dense reference.
+    Coplanar-tie prims may differ; t must agree everywhere."""
+    from hikari_tpu.io.scenes import procedural_city, _sun_from_euler
+    from hikari_tpu.scene import build_scene_buffers
+    from hikari_tpu.scene.compile import Scene
+
+    scene = procedural_city(
+        Scene(materials=[], directional_light=_sun_from_euler(-1, 0.6, 0)),
+        blocks=4,
+    )
+    b = build_scene_buffers(scene)
+    assert b.num_tris > 512  # multiple clusters
+
+    rng = np.random.default_rng(31)
+    n = 700  # deliberately not a TILE_R multiple (exercises padding)
+    o = jnp.asarray(rng.uniform(-20, 20, (n, 3)).astype(np.float32))
+    o = o.at[:, 1].set(jnp.abs(o[:, 1]) / 3 + 1.0)
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    ref = trace_rays(b, o, d, method="bruteforce")
+    pt = trace_rays(b, o, d, method="pallas_tiled")
+    np.testing.assert_allclose(np.asarray(ref.t), np.asarray(pt.t), atol=1e-4)
+    same = np.asarray(ref.prim) == np.asarray(pt.prim)
+    assert same.mean() > 0.99, same.mean()
+    np.testing.assert_array_equal(
+        np.asarray(ref.prim >= 0), np.asarray(pt.prim >= 0)
+    )
+
+    excl = jnp.asarray(rng.integers(-1, 8, (n,)).astype(np.int32))
+    maxd = jnp.asarray(rng.uniform(2.0, 30.0, (n,)).astype(np.float32))
+    ref2 = trace_rays(
+        b, o, d, max_distance=maxd, exclude_instance=excl,
+        method="bruteforce",
+    )
+    pt2 = trace_rays(
+        b, o, d, max_distance=maxd, exclude_instance=excl,
+        method="pallas_tiled",
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref2.t), np.asarray(pt2.t), atol=1e-4
+    )
+    assert (np.asarray(ref2.prim) == np.asarray(pt2.prim)).mean() > 0.99
+
+    # Range restriction to one instance's primitives.
+    inst = 2
+    lo = int(np.asarray(b.inst_prim_offset)[inst])
+    hi = lo + int(np.asarray(b.inst_prim_count)[inst])
+    pt3 = trace_rays(b, o, d, range_lo=lo, range_hi=hi, method="pallas_tiled")
+    prim = np.asarray(pt3.prim)
+    ok = prim >= 0
+    assert ((prim[ok] >= lo) & (prim[ok] < hi)).all()
+    ref3 = trace_rays(b, o, d, range_lo=lo, range_hi=hi, method="bruteforce")
+    np.testing.assert_allclose(np.asarray(ref3.t), np.asarray(pt3.t), atol=1e-4)
+
+    # Early distance: any-hit semantics — the returned hit must be a real
+    # intersection no farther than the closest one would allow to stand
+    # in for it (t <= early implies a valid occluder was found).
+    early = jnp.full((n,), 5.0, dtype=jnp.float32)
+    pt4 = trace_rays(b, o, d, early_distance=early, method="pallas_tiled")
+    hit4 = np.asarray(pt4.prim) >= 0
+    refhit = np.asarray(ref.prim) >= 0
+    # early-exit may only be taken where a genuine hit exists
+    assert (hit4 == refhit).all()
+    t4 = np.asarray(pt4.t)
+    t_ref = np.asarray(ref.t)
+    # wherever the exact closest hit is beyond `early`, results agree
+    far = refhit & (t_ref >= 5.0)
+    np.testing.assert_allclose(t4[far], t_ref[far], atol=1e-4)
+    # wherever early-exit could trigger, the returned t is a real hit
+    # distance <= some intersection (at least as small as maxd bound)
+    near = refhit & (t_ref < 5.0)
+    assert (t4[near] < 5.0 + 1e-4).all()
+
+
+def test_scatter_matches_bruteforce():
+    """Cluster-major wavefront backend (trace/scatter.py, interpreted on
+    CPU): exact closest hit via per-(ray, cluster) compaction. Same
+    contract checks as the tile walk: max distance, instance exclusion,
+    primitive-range restriction."""
+    from hikari_tpu.io.scenes import procedural_city, _sun_from_euler
+    from hikari_tpu.scene import build_scene_buffers
+    from hikari_tpu.scene.compile import Scene
+
+    scene = procedural_city(
+        Scene(materials=[], directional_light=_sun_from_euler(-1, 0.6, 0)),
+        blocks=4,
+    )
+    b = build_scene_buffers(scene)
+    assert b.num_tris > 512  # multiple clusters
+
+    rng = np.random.default_rng(47)
+    n = 600
+    o = jnp.asarray(rng.uniform(-20, 20, (n, 3)).astype(np.float32))
+    o = o.at[:, 1].set(jnp.abs(o[:, 1]) / 3 + 1.0)
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    ref = trace_rays(b, o, d, method="bruteforce")
+    sc = trace_rays(b, o, d, method="scatter")
+    np.testing.assert_allclose(np.asarray(ref.t), np.asarray(sc.t), atol=1e-4)
+    assert (np.asarray(ref.prim) == np.asarray(sc.prim)).mean() > 0.99
+    np.testing.assert_array_equal(
+        np.asarray(ref.prim >= 0), np.asarray(sc.prim >= 0)
+    )
+
+    excl = jnp.asarray(rng.integers(-1, 8, (n,)).astype(np.int32))
+    maxd = jnp.asarray(rng.uniform(2.0, 30.0, (n,)).astype(np.float32))
+    ref2 = trace_rays(
+        b, o, d, max_distance=maxd, exclude_instance=excl,
+        method="bruteforce",
+    )
+    sc2 = trace_rays(
+        b, o, d, max_distance=maxd, exclude_instance=excl,
+        method="scatter",
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref2.t), np.asarray(sc2.t), atol=1e-4
+    )
+    assert (np.asarray(ref2.prim) == np.asarray(sc2.prim)).mean() > 0.99
+
+    inst = 2
+    lo = int(np.asarray(b.inst_prim_offset)[inst])
+    hi = lo + int(np.asarray(b.inst_prim_count)[inst])
+    sc3 = trace_rays(b, o, d, range_lo=lo, range_hi=hi, method="scatter")
+    prim = np.asarray(sc3.prim)
+    ok = prim >= 0
+    assert ((prim[ok] >= lo) & (prim[ok] < hi)).all()
+    ref3 = trace_rays(b, o, d, range_lo=lo, range_hi=hi, method="bruteforce")
+    np.testing.assert_allclose(np.asarray(ref3.t), np.asarray(sc3.t), atol=1e-4)
