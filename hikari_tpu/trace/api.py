@@ -101,20 +101,21 @@ def trace_rays(
 
     if method == "auto":
         # Measured on v5e (bench_trace.py, README table): XLA dense wins
-        # the small-scene class (fuses into the surrounding pipeline); the
-        # streamed Pallas kernel wins the few-thousand class (city-8:
-        # 2.1 Mrays/s); fused per-tile cluster walking (pallas_tiled)
-        # wins the large class — true per-tile early exit instead of the
-        # XLA tiled backend's lockstep-over-all-tiles. The gather-bound
-        # lockstep walk is never fastest on TPU; it remains the default
-        # on backends without Pallas for mid scenes.
+        # the small-scene class (fuses into the surrounding pipeline);
+        # fused per-tile cluster walking (pallas_tiled) wins EVERY class
+        # above it — city-8 10.8 Mrays/s (3.8x dense), helmet 95k tris
+        # 0.66 Mrays/s (1.8x the XLA tiled walk) — true per-tile early
+        # exit + double-buffered cluster DMA instead of the XLA tiled
+        # backend's lockstep-over-all-tiles. The gather-bound lockstep
+        # walk and the scatter compaction backend are never fastest on
+        # TPU; tiled/bvh remain the defaults off-TPU (no Mosaic).
         on_tpu = jax.default_backend() == "tpu"
         if scene.num_tris <= bruteforce_max_tris:
             method = "bruteforce"
-        elif scene.num_tris > 16384:
-            method = "pallas_tiled" if on_tpu else "tiled"
         elif on_tpu:
-            method = "pallas"
+            method = "pallas_tiled"
+        elif scene.num_tris > 16384:
+            method = "tiled"
         else:
             method = "bvh"
 
