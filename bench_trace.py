@@ -24,13 +24,27 @@ import sys
 import time
 
 
-def build_scenes():
+def build_scenes(stress: bool = False):
     from hikari_tpu.io.scenes import (
         cornell_box_scene,
         procedural_city,
+        procedural_terrain,
         _sun_from_euler,
     )
     from hikari_tpu.scene.compile import Scene
+
+    if stress:
+        # Million-triangle class only (pair it with --backends to pick
+        # the tracers that can take it).
+        return {
+            "terrain-1m": procedural_terrain(
+                Scene(
+                    materials=[],
+                    directional_light=_sun_from_euler(-1.0, 0.6, 0.0),
+                ),
+                n=708,
+            )
+        }
 
     scenes = {"cornell": cornell_box_scene()}
     scenes["city-8"] = procedural_city(
@@ -96,6 +110,10 @@ def main():
         "--backends",
         default="bruteforce,bvh,pallas,tiled,pallas_tiled,scatter",
     )
+    ap.add_argument(
+        "--stress", action="store_true",
+        help="bench the ~1M-triangle terrain instead of the 3-scene set",
+    )
     args = ap.parse_args()
 
     import jax
@@ -116,7 +134,7 @@ def main():
     print(f"# device={device}", file=sys.stderr)
 
     rows = []
-    for name, scene in build_scenes().items():
+    for name, scene in build_scenes(stress=args.stress).items():
         buffers = build_scene_buffers(scene)
         o, d = make_rays(buffers, args.rays)
         print(f"# {name}: {buffers.num_tris} triangles", file=sys.stderr)
@@ -128,9 +146,10 @@ def main():
             if method == "bvh":
                 budget = args.rays if buffers.num_tris <= 10_000 else 1 << 16
             elif method == "pallas_tiled":
-                # per-tile early exit: cost scales with visited clusters,
-                # not the dense pair count — full ray budget is safe
-                budget = args.rays
+                # per-tile early exit: kernel cost scales with visited
+                # clusters, but the XLA phase-1 entry pass is rays x
+                # (tris/128) AABB tests — cap those pairs
+                budget = max(1 << 16, int(5.1e11) // max(buffers.num_tris, 1))
             elif method == "scatter":
                 # exact entered-pair cost, but the item arrays are
                 # items_per_ray * R wide — cap the footprint

@@ -304,3 +304,32 @@ CONFIGS = {
     "scene": scene_config,
     "city": city_config,
 }
+
+
+def procedural_terrain(
+    scene: Scene, n: int = 708, size: float = 200.0, seed: int = 3
+) -> Scene:
+    """Million-triangle stress geometry for the large-scene tracer
+    benches: one displaced-grid terrain instance (2*n^2 triangles) plus a
+    few emissive marker spheres. n=708 -> ~1.0M triangles."""
+    from hikari_tpu.scene.mesh import terrain_mesh, uv_sphere_mesh
+
+    ground = scene.add_material(
+        Material(base_color=(0.35, 0.4, 0.3, 1.0), perceptual_roughness=0.9)
+    )
+    lamp = scene.add_material(
+        Material(base_color=(1, 1, 1, 1), emissive=(1.0, 0.9, 0.7, 0.3))
+    )
+    terr = scene.add_mesh(terrain_mesh(n, size=size, height=size * 0.06, seed=seed))
+    scene.add_instance(Instance(terr, ground, _transform((0, 0, 0))))
+    sphere = scene.add_mesh(uv_sphere_mesh(1.0, 12, 6))
+    rng = np.random.default_rng(seed + 1)
+    for _ in range(4):
+        x, z = rng.uniform(-size / 3, size / 3, size=2)
+        scene.add_instance(
+            Instance(
+                sphere, lamp,
+                _transform((float(x), size * 0.08, float(z)), None, (1.0, 1.0, 1.0)),
+            )
+        )
+    return scene

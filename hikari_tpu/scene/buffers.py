@@ -42,6 +42,7 @@ class SceneBuffers:
     tri_world: jax.Array  # (P, 3, 3) f32 — differentiable geometry leaf
     tri_vidx: jax.Array  # (P, 3) i32
     tri_inst: jax.Array  # (P,) i32
+    tri_mesh_index: jax.Array  # (P,) i32 instance-local mesh-order id
     tri_local: jax.Array  # (P, 3, 3) f32 — source for device transform updates
     # precomputed plane/dual-basis form for the MXU intersection path
     # (trace/intersect.py precompute_triangles); detached search data.
@@ -166,6 +167,7 @@ def to_device(
         tri_world=dev(tri_padded),
         tri_vidx=dev(_pad(arrays.tri_vidx, p)),
         tri_inst=dev(_pad(arrays.tri_inst, p, fill=-1)),
+        tri_mesh_index=dev(_pad(arrays.tri_mesh_index, p, fill=-1)),
         tri_local=dev(_pad(arrays.tri_local, p)),
         tri_n=pre["n"],
         tri_eu=pre["eu"],

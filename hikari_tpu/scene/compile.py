@@ -130,10 +130,13 @@ class SceneArrays:
     """All scene data as flat numpy SoA arrays, pre-padding. Field-by-field
     analogue of mesh_material_types.wgsl:3-84 plus the stitched node graph."""
 
-    # triangles (world space, grouped by instance)
+    # triangles (world space, grouped by instance, each instance's run in
+    # its BLAS depth-first leaf order — spatially coherent, so the tracer
+    # backends' 128-triangle clusters get tight AABBs)
     tri_world: np.ndarray  # (P, 3, 3) vertex positions
     tri_vidx: np.ndarray  # (P, 3) global vertex indices
     tri_inst: np.ndarray  # (P,) instance id
+    tri_mesh_index: np.ndarray  # (P,) instance-local MESH-order triangle id
     # local-space copy for the device-side transform-update path
     # (scene/update.py; reference rebuilds on events, instance.rs:244-444)
     tri_local: np.ndarray  # (P, 3, 3)
@@ -224,6 +227,7 @@ def compile_scene(scene: Scene) -> SceneArrays:
         raise ValueError("scene has no instances")
 
     tri_world, tri_vidx, tri_inst, tri_local = [], [], [], []
+    tri_mesh_index, inst_perm = [], []
     vert_normal, vert_uv, vert_normal_local, vert_inst = [], [], [], []
     inst_min, inst_max = [], []
     inst_material = np.array([i.material for i in insts], dtype=np.int32)
@@ -241,20 +245,35 @@ def compile_scene(scene: Scene) -> SceneArrays:
         wnorm = transform_normals(inst.transform, mesh.normals)
         tris = wpos[mesh.indices]  # (p, 3, 3)
 
-        tri_world.append(tris)
-        tri_vidx.append(mesh.indices.astype(np.int32) + vert_offset)
+        lo = tris.min(axis=1)
+        hi = tris.max(axis=1)
+        blas = build_flat_bvh(lo, hi)
+        # Reorder this instance's triangles into the BLAS's depth-first
+        # leaf order: the SAH tree is spatially coherent, so the tracer
+        # backends' fixed 128-triangle clusters (trace/tiled.py,
+        # trace/pallas_tiled.py) inherit tight AABBs instead of
+        # mesh-emission-order luck. Leaf entries are then relabeled to
+        # the permuted ids (leaf rank i now holds local prim i).
+        leaf_mask = blas.entry < 0
+        perm = (-blas.entry[leaf_mask] - 1).astype(np.int64)
+        blas.entry[leaf_mask] = -(
+            np.arange(len(perm), dtype=np.int32) + 1
+        )
+        blas_list.append(blas)
+        inst_perm.append(perm)
+
+        tri_world.append(tris[perm])
+        tri_vidx.append(mesh.indices[perm].astype(np.int32) + vert_offset)
         tri_inst.append(np.full(len(tris), inst_id, dtype=np.int32))
-        tri_local.append(mesh.positions[mesh.indices])
+        tri_mesh_index.append(perm.astype(np.int32))
+        tri_local.append(mesh.positions[mesh.indices[perm]])
         vert_normal.append(wnorm)
         vert_uv.append(mesh.uvs)
         vert_normal_local.append(mesh.normals)
         vert_inst.append(np.full(mesh.num_vertices, inst_id, dtype=np.int32))
 
-        lo = tris.min(axis=1)
-        hi = tris.max(axis=1)
         inst_min.append(wpos.min(axis=0))
         inst_max.append(wpos.max(axis=0))
-        blas_list.append(build_flat_bvh(lo, hi))
 
         inst_prim_offset.append(prim_offset)
         inst_prim_count.append(len(tris))
@@ -264,6 +283,7 @@ def compile_scene(scene: Scene) -> SceneArrays:
     tri_world = np.concatenate(tri_world).astype(np.float32)
     tri_vidx = np.concatenate(tri_vidx)
     tri_inst = np.concatenate(tri_inst)
+    tri_mesh_index = np.concatenate(tri_mesh_index)
     tri_local = np.concatenate(tri_local).astype(np.float32)
     vert_normal = np.concatenate(vert_normal).astype(np.float32)
     vert_uv = np.concatenate(vert_uv).astype(np.float32)
@@ -348,7 +368,10 @@ def compile_scene(scene: Scene) -> SceneArrays:
         if intensity <= 0.0:
             continue
         mesh: Mesh = scene.meshes[inst.mesh]
-        areas = mesh.triangle_areas(inst.transform)
+        # Areas in the instance's DFS-leaf triangle order: alias_index
+        # values are instance-local PERMUTED prim ids (sampling converts
+        # them to global ids via inst_prim_offset, render/sampling.py:212).
+        areas = mesh.triangle_areas(inst.transform)[inst_perm[inst_id]]
         prob, index = build_alias_table(areas)
         em_emissive.append(emissive)
         center = 0.5 * (inst_min[inst_id] + inst_max[inst_id])
@@ -389,6 +412,7 @@ def compile_scene(scene: Scene) -> SceneArrays:
         tri_world=tri_world,
         tri_vidx=tri_vidx,
         tri_inst=tri_inst,
+        tri_mesh_index=tri_mesh_index,
         tri_local=tri_local,
         vert_normal=vert_normal,
         vert_uv=vert_uv,

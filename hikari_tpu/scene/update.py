@@ -358,7 +358,13 @@ class SceneUpdater:
             self._linear_cache[inst_id] = lin.copy()
             inst = self.scene.instances[inst_id]
             mesh = self.scene.meshes[inst.mesh]
-            areas = mesh.triangle_areas(models[inst_id])
+            # triangle_areas is mesh-order; the buffers store triangles in
+            # BLAS DFS-leaf order (compile_scene) — permute to match so
+            # alias_index keeps meaning instance-local PERMUTED prim ids.
+            po = int(np.asarray(self.buffers.inst_prim_offset)[inst_id])
+            pc = int(np.asarray(self.buffers.inst_prim_count)[inst_id])
+            perm = np.asarray(self.buffers.tri_mesh_index)[po : po + pc]
+            areas = mesh.triangle_areas(models[inst_id])[perm]
             prob, index = build_alias_table(areas)
             changed_rows[slot] = (prob, index)
         if not changed_rows:

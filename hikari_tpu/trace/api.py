@@ -336,6 +336,15 @@ def _trace_pallas_tiled(scene, o, d, maxd, early, excl, lo, hi):
         trace_pallas_tiled,
     )
 
+    # Swept on v5e (STATUS.md): 64-triangle clusters beat 128/256 at every
+    # scene size (tighter AABBs -> fewer entered pairs outweighs the extra
+    # per-cluster loop overhead); grow cluster only to keep the per-tile
+    # SMEM cluster lists (2 x L i32/f32) within Mosaic limits.
+    P = scene.tri_n.shape[0]
+    cluster = 64
+    while -(-P // cluster) > 16384:
+        cluster *= 2
+
     R = o.shape[0]
     octant = (
         (d[:, 0] < 0).astype(jnp.int32) * 4
@@ -364,13 +373,13 @@ def _trace_pallas_tiled(scene, o, d, maxd, early, excl, lo, hi):
             [x, jnp.full((Rp - R,) + x.shape[1:], fill, dtype=x.dtype)]
         )
 
-    packed, cmin, cmax, cvalid = pack_clusters(scene)
+    packed, cmin, cmax, cvalid = pack_clusters(scene, cluster)
     interpret = jax.default_backend() != "tpu"
     t, prim, u, v = trace_pallas_tiled(
         packed, cmin, cmax, cvalid,
         prep(o), prep(d, 1.0), prep(maxd), prep(early),
         prep(excl, -1), prep(lo), prep(hi, 0),
-        interpret=interpret,
+        interpret=interpret, cluster=cluster,
     )
     t, prim, u, v = (
         t[:R][inv_order], prim[:R][inv_order],

@@ -52,10 +52,22 @@ def test_update_matches_recompile(dyn_scene, dyn_buffers):
         inst.previous_transform = np.asarray(dyn_buffers.inst_model)[i]
     recompiled = build_scene_buffers(moved)
 
+    def mesh_order(b):
+        # compile_scene stores triangles in BLAS DFS-leaf order, and the
+        # recompiled (moved) scene builds a DIFFERENT tree -> different
+        # permutation. Undo both to mesh order before comparing.
+        n = b.num_tris
+        tri = np.asarray(b.tri_world)[:n]
+        gidx = (
+            np.asarray(b.inst_prim_offset)[np.asarray(b.tri_inst)[:n]]
+            + np.asarray(b.tri_mesh_index)[:n]
+        )
+        out = np.zeros_like(tri)
+        out[gidx] = tri
+        return out
+
     np.testing.assert_allclose(
-        np.asarray(updated.tri_world)[: updated.num_tris],
-        np.asarray(recompiled.tri_world)[: recompiled.num_tris],
-        atol=1e-4,
+        mesh_order(updated), mesh_order(recompiled), atol=1e-4
     )
     np.testing.assert_allclose(
         np.asarray(updated.vert_normal)[: len(np.asarray(recompiled.vert_normal))],
