@@ -143,7 +143,7 @@ def _make_kernel(tile_r: int, cluster: int):
                 cn, cu, cv = c(9), c(10), c(11)
                 valid_tri = c(12)
                 inst = c(13)
-                prim_id = joff + base + (bi * S).astype(jnp.float32)
+                prim_id = joff + base + jnp.float32(bi * S)
 
                 dn = dx * nx + dy * ny + dz * nz
                 on = ox * nx + oy * ny + oz * nz
@@ -176,7 +176,12 @@ def _make_kernel(tile_r: int, cluster: int):
                     jnp.where(ok, v, best_v),
                 )
 
-            return jax.lax.fori_loop(0, CLUSTER // S, body, carry)
+            # Static trip count: unroll fully so Mosaic software-pipelines
+            # the (S, TILE_R) vector ops across sublane tiles instead of
+            # serializing 8 tiny loop bodies per cluster.
+            for bi in range(CLUSTER // S):
+                carry = body(bi, carry)
+            return carry
 
         init_best = (
             jnp.minimum(maxd, F32_MAX),
