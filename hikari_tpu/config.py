@@ -117,7 +117,10 @@ class RenderSettings:
     # is derived: the channel that runs *last* among direct/emissive adds it.
 
     # --- tracing method selection (TPU-native; no reference analogue) ---
-    # "auto": brute force below `bruteforce_max_tris` world triangles, else BVH.
+    # "auto": MXU brute force below `bruteforce_max_tris` world triangles,
+    # else the fused Pallas tile-walk on TPU (tiled/bvh off-TPU).
+    # "auto_xla": same crossovers, GSPMD-partitionable backends only —
+    # the sharded entry points (parallel/sharding.py) select this.
     tracer: str = "auto"
     bruteforce_max_tris: int = 2048
     # safety cap for the stackless BVH walk (worst-case node visits)

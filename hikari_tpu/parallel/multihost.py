@@ -142,7 +142,7 @@ def make_multihost_train_step(settings: RenderSettings, mesh: Mesh):
     gradients all-reduce automatically (ICI within hosts, DCN across)."""
     from hikari_tpu.parallel.sharding import make_train_step
 
-    step = make_train_step(settings)
+    step = make_train_step(settings, sharded=True)
 
     def wrapped(scene, camera, state, target):
         loss, grads, out, new_state = step(scene, camera, state, target)

@@ -83,6 +83,19 @@ def replicate(tree, mesh: Mesh):
     )
 
 
+def _xla_tracer(settings: RenderSettings) -> RenderSettings:
+    """Restrict auto tracer dispatch to GSPMD-partitionable backends:
+    pallas_call has no partitioning rule, so inside a sharded step the
+    partitioner would replicate its operands (full-res rays on every
+    device). trace/api.py's "auto_xla" keeps the same crossovers but
+    picks the pure-XLA tiled walk above the dense threshold."""
+    if settings.tracer != "auto":
+        return settings
+    import dataclasses
+
+    return dataclasses.replace(settings, tracer="auto_xla")
+
+
 def make_sharded_render(
     settings: RenderSettings,
     mesh: Mesh,
@@ -98,6 +111,7 @@ def make_sharded_render(
     exactly ``step`` halo rows per field per à-trous level instead of
     compiler-chosen collectives around every roll. Numerically identical
     (tests/test_halo.py)."""
+    settings = _xla_tracer(settings)
     denoise_fn = None
     if manual_halo_denoise:
         from hikari_tpu.parallel.halo import denoise_channel_sharded
@@ -145,12 +159,15 @@ DIFF_LEAVES = (
 )
 
 
-def make_train_step(settings: RenderSettings):
+def make_train_step(settings: RenderSettings, sharded: bool = False):
     """Full training step: forward render + backward through shading/
     denoise/tonemap, returning gradients w.r.t. the differentiable scene
     leaves (materials, lights, world-space vertices at fixed hit
     topology). Under a sharded mesh, GSPMD all-reduces these replicated-
-    parameter gradients over ICI."""
+    parameter gradients over ICI; pass ``sharded=True`` there so tracer
+    auto-dispatch stays on GSPMD-partitionable backends."""
+    if sharded:
+        settings = _xla_tracer(settings)
 
     def split(scene):
         params = {k: getattr(scene, k) for k in DIFF_LEAVES}

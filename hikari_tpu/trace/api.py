@@ -99,22 +99,30 @@ def trace_rays(
     lo = per_ray(range_lo, 0).astype(jnp.int32)
     hi = per_ray(range_hi, scene.num_tris).astype(jnp.int32)
 
-    if method == "auto":
+    if method in ("auto", "auto_xla"):
         # Measured on v5e (bench_trace.py, README table): XLA dense wins
         # the small-scene class (fuses into the surrounding pipeline);
         # fused per-tile cluster walking (pallas_tiled) wins EVERY class
-        # above it — city-8 10.8 Mrays/s (3.8x dense), helmet 95k tris
-        # 0.66 Mrays/s (1.8x the XLA tiled walk) — true per-tile early
+        # above it — city-8 28.2 Mrays/s (10x dense), helmet 95k tris
+        # 1.97 Mrays/s (4.4x the XLA tiled walk) — true per-tile early
         # exit + double-buffered cluster DMA instead of the XLA tiled
         # backend's lockstep-over-all-tiles. The gather-bound lockstep
         # walk and the scatter compaction backend are never fastest on
         # TPU; tiled/bvh remain the defaults off-TPU (no Mosaic).
-        on_tpu = jax.default_backend() == "tpu"
+        #
+        # "auto_xla" restricts the choice to pure-XLA backends:
+        # pallas_call has no GSPMD partitioning rule, so under a sharded
+        # pipeline the partitioner would replicate its operands. The
+        # sharded entry points (parallel/sharding.py) select this mode;
+        # the XLA tiled walk partitions cleanly over row-sharded rays.
+        on_tpu = (
+            method == "auto" and jax.default_backend() == "tpu"
+        )
         if scene.num_tris <= bruteforce_max_tris:
             method = "bruteforce"
         elif on_tpu:
             method = "pallas_tiled"
-        elif scene.num_tris > 16384:
+        elif scene.num_tris > 16384 or method == "auto_xla":
             method = "tiled"
         else:
             method = "bvh"

@@ -368,3 +368,30 @@ def test_scatter_matches_bruteforce():
     assert ((prim[ok] >= lo) & (prim[ok] < hi)).all()
     ref3 = trace_rays(b, o, d, range_lo=lo, range_hi=hi, method="bruteforce")
     np.testing.assert_allclose(np.asarray(ref3.t), np.asarray(sc3.t), atol=1e-4)
+
+
+def test_auto_xla_dispatch():
+    """auto_xla (the sharded pipeline's tracer mode, parallel/sharding.py)
+    must never select a Pallas backend — pallas_call has no GSPMD
+    partitioning rule — and must agree with the dense reference."""
+    from hikari_tpu.io.scenes import procedural_city, _sun_from_euler
+    from hikari_tpu.scene import build_scene_buffers
+    from hikari_tpu.scene.compile import Scene
+
+    scene = procedural_city(
+        Scene(materials=[], directional_light=_sun_from_euler(-1, 0.6, 0)),
+        blocks=4,
+    )
+    b = build_scene_buffers(scene)
+    assert b.num_tris > 512
+
+    rng = np.random.default_rng(5)
+    o = jnp.asarray(rng.uniform(-15, 15, (256, 3)).astype(np.float32))
+    o = o.at[:, 1].set(jnp.abs(o[:, 1]) / 3 + 1.0)
+    d = jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    ref = trace_rays(b, o, d, method="bruteforce")
+    ax = trace_rays(b, o, d, method="auto_xla")
+    np.testing.assert_array_equal(np.asarray(ref.prim), np.asarray(ax.prim))
+    np.testing.assert_allclose(np.asarray(ref.t), np.asarray(ax.t), atol=1e-3)
