@@ -117,15 +117,17 @@ def main():
     dispatch_dt = time.perf_counter() - t0
     print(f"# dispatch-only baseline: 24 ops in {dispatch_dt:.4f}s", file=sys.stderr)
 
-    # Repeat the timed loop and report every repetition: per-dispatch
-    # latency through the remote-TPU tunnel is noisy, device compute is not.
-    frames = 24
+    # HONEST timing: through the remote-TPU tunnel, block_until_ready is
+    # only truthful for a SINGLE in-flight execution (with queued calls it
+    # returns without waiting — see CLAUDE.md). Block every frame; the
+    # ~25 ms per-call tunnel overhead is negligible against the step time.
+    frames = 3
     best_dt = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
         for _ in range(frames):
             loss, grads, out, state = train_step(buffers, camera, state, target)
-        jax.block_until_ready(loss)
+            jax.block_until_ready(loss)
         dt_rep = time.perf_counter() - t0
         print(
             f"# rep {rep}: {frames} frames in {dt_rep:.4f}s "
@@ -157,9 +159,11 @@ def main():
         pass
     if flops:
         achieved = flops / (best_dt / frames)
+        # XLA cost-analysis FLOPs include lane-padded matmuls and remat
+        # recompute — an upper bound on useful work, NOT an MFU basis.
         print(
-            f"# step FLOPs={flops:.3e}, achieved {achieved / 1e12:.2f} TFLOP/s "
-            f"(~{achieved / 49e12 * 100:.1f}% of v5e f32 peak)",
+            f"# step FLOPs (XLA cost-analysis, incl. padding/remat)="
+            f"{flops:.3e}; naive rate {achieved / 1e12:.2f} TFLOP/s",
             file=sys.stderr,
         )
     print(

@@ -165,22 +165,46 @@ def main():
                 return h.t
 
             try:
+                import jax.numpy as jnp
+
                 fn = jax.jit(run)
                 t = jax.block_until_ready(fn())  # compile+warm
-                # Amortize dispatch/tunnel latency: enqueue `reps` async
-                # dispatches per timed block, sync once. reps sized so a
-                # block takes ~0.5 s (single probe call below).
+                # HONEST timing: block EVERY call — through the remote-TPU
+                # tunnel block_until_ready with >1 queued execution returns
+                # without waiting (CLAUDE.md). For sub-second calls, fold
+                # repetitions into ONE jitted lax.scan (origins perturbed
+                # per iteration to defeat CSE) so the ~25 ms per-call
+                # tunnel overhead amortizes without queueing executions.
                 t0 = time.perf_counter()
                 jax.block_until_ready(fn())
                 probe = time.perf_counter() - t0
-                reps = int(max(1, min(32, 0.5 / max(probe, 1e-3))))
+                inner = int(max(1, min(64, 0.5 / max(probe, 1e-3))))
+                if inner > 1:
+
+                    def run_scan(oo=ob, dd=db):
+                        def body(acc, k):
+                            h = trace_rays(
+                                buffers,
+                                oo + 1e-7 * k,
+                                dd,
+                                method=method,
+                            )
+                            return acc + h.t.sum(), None
+
+                        acc, _ = jax.lax.scan(
+                            body,
+                            jnp.float32(0.0),
+                            jnp.arange(inner, dtype=jnp.float32),
+                        )
+                        return acc
+
+                    fn = jax.jit(run_scan)
+                    jax.block_until_ready(fn())  # compile+warm
                 best = float("inf")
                 for _ in range(3):
                     t0 = time.perf_counter()
-                    for _ in range(reps):
-                        r = fn()
-                    jax.block_until_ready(r)
-                    best = min(best, (time.perf_counter() - t0) / reps)
+                    jax.block_until_ready(fn())
+                    best = min(best, (time.perf_counter() - t0) / inner)
                 rps = n_rays / best
                 hit_frac = float(np.isfinite(np.asarray(t)).mean())
                 rows.append((name, buffers.num_tris, method, rps))

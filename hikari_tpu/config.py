@@ -131,6 +131,15 @@ class RenderSettings:
     # age) — the observability layer the reference lacked (SURVEY §5).
     collect_stats: bool = False
 
+    # Spatial-reuse tap sampling (render/spatial.py):
+    # "rolls" — K globally-rotated spiral variants, neighbor fetches are
+    #   jnp.rolls + a per-pixel K-way select (TPU-fast: measured 40x over
+    #   per-pixel gathers at 1080p); "gather" — per-pixel random rotation
+    #   with true 2D gathers (the reference's exact pattern,
+    #   light.wgsl:1566-1572; keep for reference-parity comparisons).
+    spatial_taps: str = "rolls"
+    spatial_tap_variants: int = 4
+
     # Keep reservoir RADIANCE attached through the spatial-reuse merge so
     # spatially-reused light carries parameter gradients (selection stays
     # detached; see render/spatial.py policy note). Off by default: adds

@@ -30,7 +30,25 @@ STEP_SIZES = (8, 4, 2, 1)
 
 def _deferred_maps(gbuffer: GBuffer, settings: RenderSettings, frame_number):
     """Per-render-pixel nearest samples of the full-res G-buffer at the
-    jittered deferred uv (denoise.wgsl:37-42 with 0.5 amount)."""
+    jittered deferred uv (denoise.wgsl:37-42 with 0.5 amount). Integer
+    upscale ratios take the strided-slice path (render/light.py)."""
+    ratio = settings.upscale_ratio
+    if float(ratio).is_integer():
+        from hikari_tpu.render.light import (
+            _deferred_phase,
+            strided_deferred_plane,
+        )
+
+        c = _deferred_phase(frame_number, int(ratio), 0.5)
+        f = lambda a: strided_deferred_plane(
+            a, c, int(ratio), settings.render_size
+        )
+        return (
+            f(gbuffer.position)[..., 3],
+            f(gbuffer.normal),
+            f(gbuffer.depth_gradient),
+            f(gbuffer.instance.astype(jnp.float32)),
+        )
     rh, rw = settings.render_size
     ys, xs = render_coords(settings.render_size)
     uv = jnp.stack(

@@ -84,6 +84,64 @@ def uv_to_coords(uv, size_hw):
     return y, x
 
 
+def _deferred_phase(frame_number, ratio_int: int, amount: float):
+    """Integer pixel offset of the jittered deferred map: for integer
+    upscale ratio R, the per-render-pixel nearest deferred coordinate is
+    the affine map  dy = R*y + c  with
+    c = floor(R/2 + sign*amount*(R-1)), sign alternating by frame parity
+    (same derivation as jittered_deferred_uv + uv_to_coords)."""
+    sign = jnp.where((frame_number & 1) == 0, amount, -amount)
+    c = jnp.floor(ratio_int / 2.0 + sign * (ratio_int - 1.0)).astype(jnp.int32)
+    return jnp.clip(c, 0, ratio_int - 1)
+
+
+def strided_deferred_plane(a, c, ratio_int: int, render_size):
+    """Sample a full-res plane at the affine deferred map (dy = R*y + c):
+    one dynamic_slice + a strided view — pure bandwidth. On TPU this
+    replaces a per-pixel 2D gather, the slowest primitive on the chip
+    (gathers in the deferred fetches were a measured ~1 s of a 6 s 1080p
+    frame across the light passes)."""
+    rh, rw = render_size
+    R = ratio_int
+    size = (R * (rh - 1) + 1, R * (rw - 1) + 1) + a.shape[2:]
+    start = (c, c) + (0,) * (a.ndim - 2)
+    window = jax.lax.dynamic_slice(a, start, size)
+    return window[::R, ::R]
+
+
+def fetch_gbuffer_deferred(
+    gb: GBuffer, frame_number, settings, amount: float = 0.25
+) -> GBuffer:
+    """Nearest full-res G-buffer sample at every render pixel's jittered
+    deferred uv (light.wgsl:1007-1017). Integer upscale ratios take the
+    strided-slice path; fractional ratios fall back to true gathers."""
+    ratio = settings.upscale_ratio
+    render_size = settings.render_size
+    if float(ratio).is_integer():
+        Ri = int(ratio)
+        c = _deferred_phase(frame_number, Ri, amount)
+        f = lambda a: strided_deferred_plane(a, c, Ri, render_size)
+        return GBuffer(
+            position=clip_gradient(f(gb.position), 1e4),
+            normal=clip_gradient(f(gb.normal), 1e4),
+            depth_gradient=clip_gradient(f(gb.depth_gradient), 1e4),
+            instance=f(gb.instance),
+            material=f(gb.material),
+            velocity_uv=clip_gradient(f(gb.velocity_uv), 1e4),
+        )
+    rh, rw = render_size
+    ys, xs = render_coords(render_size)
+    uv = jnp.stack(
+        [(xs.astype(jnp.float32) + 0.5) / rw, (ys.astype(jnp.float32) + 0.5) / rh],
+        axis=-1,
+    )
+    duv = jittered_deferred_uv(
+        uv, frame_number, settings.output_size, ratio, amount
+    )
+    dy, dx = uv_to_coords(duv, settings.output_size)
+    return fetch_gbuffer(gb, dy, dx)
+
+
 def fetch_gbuffer(gb: GBuffer, y, x):
     # clip_gradient: bound + NaN-scrub cotangents flowing back into the
     # G-buffer (and through it into vertex positions) from the lighting
@@ -196,8 +254,7 @@ def direct_lit_pass(
         axis=-1,
     )
     duv = jittered_deferred_uv(uv, frame_number, deferred_size, ratio)
-    dy, dx = uv_to_coords(duv, deferred_size)
-    g = fetch_gbuffer(gbuffer, dy, dx)
+    g = fetch_gbuffer_deferred(gbuffer, frame_number, settings)
 
     depth = g.position[..., 3]
     background = depth < F32_EPSILON
@@ -453,8 +510,7 @@ def indirect_lit_pass(
         axis=-1,
     )
     duv = jittered_deferred_uv(uv, frame_number, deferred_size, ratio)
-    dy, dx = uv_to_coords(duv, deferred_size)
-    g = fetch_gbuffer(gbuffer, dy, dx)
+    g = fetch_gbuffer_deferred(gbuffer, frame_number, settings)
 
     depth = g.position[..., 3]
     background = depth < F32_EPSILON

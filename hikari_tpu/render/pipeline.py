@@ -42,7 +42,14 @@ from hikari_tpu.scene.buffers import SceneBuffers
 
 def _albedo_at_render_res(albedo, gbuffer, settings, frame_number):
     """Nearest-sample the full-res albedo at each render pixel's jittered
-    deferred uv (denoise.wgsl:148-150)."""
+    deferred uv (denoise.wgsl:148-150). Integer ratios take the strided
+    slice (render/light.py strided_deferred_plane) instead of a gather."""
+    from hikari_tpu.render.light import _deferred_phase, strided_deferred_plane
+
+    ratio = settings.upscale_ratio
+    if float(ratio).is_integer():
+        c = _deferred_phase(frame_number, int(ratio), 0.5)
+        return strided_deferred_plane(albedo, c, int(ratio), settings.render_size)
     rh, rw = settings.render_size
     ys, xs = render_coords(settings.render_size)
     uv = jnp.stack(

@@ -34,7 +34,7 @@ from hikari_tpu.config import (
 from hikari_tpu.render.brdf import calculate_view, retrieve_surface, shading
 from hikari_tpu.render.camera import Camera
 from hikari_tpu.render.light import (
-    fetch_gbuffer,
+    fetch_gbuffer_deferred,
     gather_reservoir,
     jittered_deferred_uv,
     load_previous_reservoir,
@@ -83,8 +83,7 @@ def spatial_reuse_pass(
         axis=-1,
     )
     duv = jittered_deferred_uv(uv, frame_number, deferred_size, ratio)
-    dy, dx = uv_to_coords(duv, deferred_size)
-    g = fetch_gbuffer(gbuffer, dy, dx)
+    g = fetch_gbuffer_deferred(gbuffer, frame_number, settings)
     depth = g.position[..., 3]
     background = depth < F32_EPSILON
     position = g.position[..., :3]
@@ -164,6 +163,24 @@ def spatial_reuse_pass(
 
     coords_f = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], axis=-1)
 
+    def eval_tap(r, q, sample_depth, in_bounds, occluded):
+        """Rejection + GRIS-Jacobian merge of one neighbor candidate —
+        shared by both tap-sampling paths (light.wgsl:1576-1642)."""
+        depth_ratio = depth / jnp.where(sample_depth == 0.0, 1e-8, sample_depth)
+        ok = in_bounds & (depth_ratio >= 0.9) & (depth_ratio <= 1.1)
+        ok = ok & (q.count >= F32_EPSILON)
+        ok = ok & (dot3(s.visible_normal, q.s.visible_normal) >= 0.866)
+        sample_direction = safe_normalize(
+            q.s.sample_position[..., :3] - s.visible_position[..., :3]
+        )
+        ok = ok & (dot3(sample_direction, s.visible_normal) >= 0.0)
+        ok = ok & ~occluded
+        jac = jnp.where(
+            q.s.sample_position[..., 3] > 0.5, compute_jacobian(q.s, s), 1.0
+        )
+        p = target_p(q.s, sample_direction) / jac
+        return merge_reservoir(r, q, p, mask=ok)
+
     def tap_body(i, r):
         # Fibonacci spiral with per-pixel random rotation (light.wgsl:1566-1572)
         fi = i.astype(jnp.float32)
@@ -192,15 +209,6 @@ def spatial_reuse_pass(
         sample_depth = gbuffer.position[sdy, sdx, 3]
         q = gather_reservoir(temporal, sy, sx)
 
-        depth_ratio = depth / jnp.where(sample_depth == 0.0, 1e-8, sample_depth)
-        ok = in_bounds & (depth_ratio >= 0.9) & (depth_ratio <= 1.1)
-        ok = ok & (q.count >= F32_EPSILON)
-        ok = ok & (dot3(s.visible_normal, q.s.visible_normal) >= 0.866)
-        sample_direction = safe_normalize(
-            q.s.sample_position[..., :3] - s.visible_position[..., :3]
-        )
-        ok = ok & (dot3(sample_direction, s.visible_normal) >= 0.0)
-
         # Screen-space depth ray-march occlusion (light.wgsl:1608-1628).
         tap_interval = jnp.maximum(1.0, radius / (SPATIAL_REUSE_TAPS + 1))
         tap_count = (radius / tap_interval).astype(jnp.int32)
@@ -219,16 +227,94 @@ def spatial_reuse_pass(
                 j / (tap_count.astype(jnp.float32) + 1.0)
             )
             occluded = occluded | (tap_on & (tap_depth > ref_depth + 1e-5))
-        ok = ok & ~occluded
 
-        jac = jnp.where(
-            q.s.sample_position[..., 3] > 0.5, compute_jacobian(q.s, s), 1.0
-        )
-        p = target_p(q.s, sample_direction) / jac
-        return merge_reservoir(r, q, p, mask=ok)
+        return eval_tap(r, q, sample_depth, in_bounds, occluded)
 
-    # fori_loop keeps the compiled graph O(1) in tap count (vs 16x unroll).
-    r = jax.lax.fori_loop(1, reuse_count + 1, tap_body, r)
+    def rolled_taps(r):
+        """Roll-based tap sampling — the TPU-fast path. Per-pixel 2D
+        gathers are the slowest primitive on TPU (measured: this pass's
+        gathers alone were 2.2 s of a 6 s 1080p frame). With tap offsets
+        uniform per VARIANT (K globally-rotated copies of the spiral,
+        each pixel randomly assigned one per frame), every neighbor
+        fetch becomes a jnp.roll — pure shifted bandwidth like the
+        denoiser — plus one K-way select. RIS stays unbiased under any
+        candidate-sampling pattern (W = w_sum/(count*lum) normalizes
+        pattern-free; light.wgsl:1566 chooses per-pixel rotation only to
+        decorrelate, not for correctness); K trades tap diversity
+        against bandwidth. Depth fetches reuse the precomputed
+        render-res `depth` plane (identical values to the per-sample
+        deferred G-buffer fetch in the gather path)."""
+        K = settings.spatial_tap_variants
+        variant = jnp.minimum((rot * K).astype(jnp.int32), K - 1)
+        frame_phase = random_float(frame_number.astype(jnp.uint32))
+
+        def roll2(a, oy, ox):
+            return jnp.roll(a, shift=(-oy, -ox), axis=(0, 1))
+
+        def roll_tap_body(i, r):
+            fi = i.astype(jnp.float32)
+            radius = jnp.sqrt(fi / reuse_count) * reuse_range  # scalar
+            tap_interval = jnp.maximum(1.0, radius / (SPATIAL_REUSE_TAPS + 1))
+            tap_count = (radius / tap_interval).astype(jnp.int32)
+
+            q_k, sd_k, inb_k, occ_k = [], [], [], []
+            for k in range(K):
+                ang = TAU * fract(fi * GOLDEN_RATIO + (k + frame_phase) / K)
+                ox = radius * jnp.cos(ang)
+                oy = radius * jnp.sin(ang)
+                oxi = jnp.floor(ox).astype(jnp.int32)
+                oyi = jnp.floor(oy).astype(jnp.int32)
+                q_k.append(
+                    jax.tree_util.tree_map(
+                        lambda a, _oy=oyi, _ox=oxi: roll2(a, _oy, _ox),
+                        temporal,
+                    )
+                )
+                sd_k.append(roll2(depth, oyi, oxi))
+                inb_k.append(
+                    (xs + oxi >= 0)
+                    & (xs + oxi < rw)
+                    & (ys + oyi >= 0)
+                    & (ys + oyi < rh)
+                )
+                occ = jnp.zeros((rh, rw), dtype=bool)
+                for j in range(1, SPATIAL_REUSE_TAPS + 2):
+                    tap_on = j <= tap_count
+                    f = tap_interval * j / jnp.maximum(radius, 1e-8)
+                    tdxi = jnp.floor(ox * f).astype(jnp.int32)
+                    tdyi = jnp.floor(oy * f).astype(jnp.int32)
+                    tap_depth = roll2(depth, tdyi, tdxi)
+                    ref_depth = depth + (sd_k[-1] - depth) * (
+                        j / (tap_count.astype(jnp.float32) + 1.0)
+                    )
+                    occ = occ | (tap_on & (tap_depth > ref_depth + 1e-5))
+                occ_k.append(occ)
+
+            # Per-pixel K-way select (tap index rotates the assignment so
+            # consecutive taps decorrelate even within one variant class).
+            v = (variant + i) % K
+
+            def pick(*xs_):
+                out = xs_[0]
+                for k in range(1, K):
+                    m = v == k
+                    mm = m.reshape(m.shape + (1,) * (xs_[k].ndim - m.ndim))
+                    out = jnp.where(mm, xs_[k], out)
+                return out
+
+            q = jax.tree_util.tree_map(pick, *q_k)
+            sample_depth = pick(*sd_k)
+            in_bounds = pick(*inb_k)
+            occluded = pick(*occ_k)
+            return eval_tap(r, q, sample_depth, in_bounds, occluded)
+
+        return jax.lax.fori_loop(1, reuse_count + 1, roll_tap_body, r)
+
+    if settings.spatial_taps == "rolls":
+        r = rolled_taps(r)
+    else:
+        # fori_loop keeps the compiled graph O(1) in tap count (vs 16x unroll).
+        r = jax.lax.fori_loop(1, reuse_count + 1, tap_body, r)
 
     r = clamp_reservoir(r, settings.max_spatial_reuse_count)
 
