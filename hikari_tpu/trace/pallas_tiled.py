@@ -53,7 +53,13 @@ S = 8  # triangles per inner iteration (one sublane tile)
 def pack_clusters(scene, cluster: int = CLUSTER):
     """(L*CLUSTER, 128) packed triangle rows (first 16 columns as
     trace/pallas_kernel.py: n(3) eu(3) ev(3) cn cu cv valid inst pad(2)),
-    padded to whole clusters, plus the (L, 3) cluster AABBs."""
+    padded to whole clusters, plus the (L, 3) cluster AABBs.
+
+    Each cluster's AABB additionally rides in row 0's padded columns
+    16:22 (cmin xyz, cmax xyz) so the kernel can re-test the box against
+    the rays' CURRENT bests after the DMA lands (the in-kernel cluster
+    skip — phase-1 entries were computed against the initial max
+    distance only)."""
     P = scene.tri_n.shape[0]
     packed = jnp.concatenate(
         [
@@ -80,6 +86,10 @@ def pack_clusters(scene, cluster: int = CLUSTER):
     # tile-aligned. Costs 8x HBM bytes, still far below the compute time.
     packed = jnp.concatenate([packed, jnp.zeros((Pp, 112), packed.dtype)], axis=1)
     cmin, cmax, cvalid = _cluster_bounds(scene, cluster)
+    row0 = jnp.arange(L, dtype=jnp.int32) * cluster
+    packed = packed.at[row0, 16:22].set(
+        jnp.concatenate([cmin, cmax], axis=1)
+    )
     return packed, cmin, cmax, cvalid
 
 
@@ -113,6 +123,20 @@ def _make_kernel(tile_r: int, cluster: int):
         joff = jax.lax.broadcasted_iota(jnp.int32, (S, TILE_R), 0).astype(
             jnp.float32
         )
+
+        # Single-sublane ray rows for the per-cluster slab test.
+        def rrow1(i):
+            return rays_ref[0, i, :].reshape(1, TILE_R)
+
+        ox1, oy1, oz1 = rrow1(0), rrow1(1), rrow1(2)
+        maxd1 = rrow1(6)
+
+        def sinv(x):
+            return 1.0 / jnp.where(
+                jnp.abs(x) < 1e-20, jnp.where(x < 0, -1e-20, 1e-20), x
+            )
+
+        ix1, iy1, iz1 = sinv(rrow1(3)), sinv(rrow1(4)), sinv(rrow1(5))
 
         def get_dma(j):
             slot = jax.lax.rem(j, 2)
@@ -204,7 +228,41 @@ def _make_kernel(tile_r: int, cluster: int):
             get_dma(j + 1).start()
             cid = order_ref[0, 0, jnp.minimum(j, L - 1)]
             base = (cid * CLUSTER).astype(jnp.float32)
-            bt, bp, bu, bv = test_cluster(slot, base, (bt, bp, bu, bv))
+
+            # In-kernel cluster skip: re-test the cluster AABB (packed in
+            # row 0, cols 16:22) against every ray's CURRENT best. Phase 1
+            # queued this cluster against the initial max distance; once
+            # rays find near hits, whole clusters become provably unable
+            # to improve anyone (any hit inside the box has t >= slab
+            # entry). The slab test runs on one sublane (~8% of a full
+            # cluster test) and gates the 8-subtile dense test.
+            ab = tribuf[slot, 0:1, 16:22]  # (1, 6)
+
+            def a(i):
+                return ab[:, i : i + 1]
+
+            t0x, t1x = (a(0) - ox1) * ix1, (a(3) - ox1) * ix1
+            t0y, t1y = (a(1) - oy1) * iy1, (a(4) - oy1) * iy1
+            t0z, t1z = (a(2) - oz1) * iz1, (a(5) - oz1) * iz1
+            tlo = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            thi = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            box_entry = jnp.maximum(tlo, 0.0)
+            bt_now = jnp.min(bt, axis=0, keepdims=True)  # (1, TILE_R)
+            enters = (
+                (thi >= box_entry) & (box_entry < bt_now) & (box_entry < maxd1)
+            )
+            bt, bp, bu, bv = jax.lax.cond(
+                jnp.any(enters),
+                lambda carry: test_cluster(slot, base, carry),
+                lambda carry: carry,
+                (bt, bp, bu, bv),
+            )
 
             # Retire once the next-nearest cluster lies beyond every ray's
             # best (entries ascend) or every ray has early-terminated.
@@ -243,15 +301,27 @@ def _make_kernel(tile_r: int, cluster: int):
     return _kernel
 
 
+SUPER = 16  # clusters per phase-1 supercluster
+
+
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "tile_r", "cluster")
+    jax.jit, static_argnames=("interpret", "tile_r", "cluster", "super_size")
 )
 def trace_pallas_tiled(
     packed, cmin, cmax, cvalid, o, d, maxd, early, excl, lo, hi,
     interpret=False, tile_r: int = TILE_R, cluster: int = CLUSTER,
+    super_size: int = SUPER,
 ):
     """Closest-hit over (R,) flat rays, R a multiple of tile_r (caller
-    pads + sorts, trace/api.py). Returns (t, prim, u, v)."""
+    pads + sorts, trace/api.py). Returns (t, prim, u, v).
+
+    Phase 1 runs at SUPERCLUSTER granularity (``super_size`` clusters per
+    slab test): the per-ray entry pass costs rays x L/super instead of
+    rays x L, and a supercluster's entry lower-bounds every member
+    cluster's entry, so the expanded near-to-far order stays ascending
+    and the kernel's retirement test stays sound. The coarser ordering
+    is repaired in-kernel by the per-cluster AABB skip (clusters whose
+    box can't beat any ray's current best cost ~8% of a dense test)."""
     TILE_R_, CLUSTER_ = tile_r, cluster
     R = o.shape[0]
     T = R // TILE_R_
@@ -259,12 +329,45 @@ def trace_pallas_tiled(
 
     ot = o.reshape(T, TILE_R_, 3)
     inv_d = safe_inv_dir(d).reshape(T, TILE_R_, 3)
-    entry_min = tile_cluster_entries(
-        cmin, cmax, cvalid, ot, inv_d, maxd.reshape(T, TILE_R_)
-    )  # (T, L)
-    order = jnp.argsort(entry_min, axis=1).astype(jnp.int32)
-    entry_sorted = jnp.take_along_axis(entry_min, order, axis=1)
-    order = order[:, None]  # (T, 1, L): unit sublane dim for SMEM blocks
+    maxdt = maxd.reshape(T, TILE_R_)
+    sc = max(1, min(super_size, L))
+    if sc > 1:
+        Ls = -(-L // sc)
+        Lp = Ls * sc
+        big = jnp.float32(F32_MAX)
+        cmin_p = jnp.concatenate(
+            [cmin, jnp.full((Lp - L, 3), big)]
+        ) if Lp != L else cmin
+        cmax_p = jnp.concatenate(
+            [cmax, jnp.full((Lp - L, 3), -big)]
+        ) if Lp != L else cmax
+        cval_p = jnp.concatenate(
+            [cvalid, jnp.zeros((Lp - L,), cvalid.dtype)]
+        ) if Lp != L else cvalid
+        smin = cmin_p.reshape(Ls, sc, 3).min(axis=1)
+        smax = cmax_p.reshape(Ls, sc, 3).max(axis=1)
+        svalid = cval_p.reshape(Ls, sc).any(axis=1)
+        entry_sc = tile_cluster_entries(
+            smin, smax, svalid, ot, inv_d, maxdt
+        )  # (T, Ls)
+        order_sc = jnp.argsort(entry_sc, axis=1).astype(jnp.int32)
+        entry_sorted_sc = jnp.take_along_axis(entry_sc, order_sc, axis=1)
+        # Expand each supercluster to its member cluster ids; padded ids
+        # (>= L) clamp to L-1 — idempotent re-tests the kernel's AABB
+        # skip makes cheap, and only the globally-last group has them.
+        order = (
+            order_sc[:, :, None] * sc
+            + jnp.arange(sc, dtype=jnp.int32)[None, None, :]
+        ).reshape(T, Lp)
+        order = jnp.minimum(order, L - 1)
+        entry_sorted = jnp.repeat(entry_sorted_sc, sc, axis=1)
+    else:
+        entry_min = tile_cluster_entries(
+            cmin, cmax, cvalid, ot, inv_d, maxdt
+        )  # (T, L)
+        order = jnp.argsort(entry_min, axis=1).astype(jnp.int32)
+        entry_sorted = jnp.take_along_axis(entry_min, order, axis=1)
+    order = order[:, None]  # (T, 1, L'): unit sublane dim for SMEM blocks
     entry_sorted = entry_sorted[:, None]
 
     rays = jnp.stack(

@@ -395,3 +395,38 @@ def test_auto_xla_dispatch():
     ax = trace_rays(b, o, d, method="auto_xla")
     np.testing.assert_array_equal(np.asarray(ref.prim), np.asarray(ax.prim))
     np.testing.assert_allclose(np.asarray(ref.t), np.asarray(ax.t), atol=1e-3)
+
+
+def test_pallas_tiled_multisupercluster():
+    """Phase 1 of the fused tile-walk runs at supercluster granularity
+    (pallas_tiled.SUPER clusters per slab test). This scene has > SUPER
+    clusters, so the expanded near-to-far order spans several
+    superclusters and the in-kernel per-cluster AABB skip must repair
+    the coarser ordering without dropping hits."""
+    from hikari_tpu.io.scenes import procedural_city, _sun_from_euler
+    from hikari_tpu.scene import build_scene_buffers
+    from hikari_tpu.scene.compile import Scene
+    from hikari_tpu.trace import pallas_tiled
+
+    scene = procedural_city(
+        Scene(materials=[], directional_light=_sun_from_euler(-1, 0.6, 0)),
+        blocks=16,
+    )
+    b = build_scene_buffers(scene)
+    n_clusters = -(-b.num_tris // pallas_tiled.CLUSTER)
+    assert n_clusters > pallas_tiled.SUPER, n_clusters
+
+    rng = np.random.default_rng(77)
+    n = 520
+    o = jnp.asarray(rng.uniform(-30, 30, (n, 3)).astype(np.float32))
+    o = o.at[:, 1].set(jnp.abs(o[:, 1]) / 3 + 1.0)
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    ref = trace_rays(b, o, d, method="bruteforce")
+    pt = trace_rays(b, o, d, method="pallas_tiled")
+    np.testing.assert_allclose(np.asarray(ref.t), np.asarray(pt.t), atol=1e-4)
+    assert (np.asarray(ref.prim) == np.asarray(pt.prim)).mean() > 0.99
+    np.testing.assert_array_equal(
+        np.asarray(ref.prim >= 0), np.asarray(pt.prim >= 0)
+    )
