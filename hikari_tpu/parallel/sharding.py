@@ -19,6 +19,7 @@ item 1)."""
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 
 import jax
@@ -88,7 +89,11 @@ def _xla_tracer(settings: RenderSettings) -> RenderSettings:
     pallas_call has no partitioning rule, so inside a sharded step the
     partitioner would replicate its operands (full-res rays on every
     device). trace/api.py's "auto_xla" keeps the same crossovers but
-    picks the pure-XLA tiled walk above the dense threshold."""
+    picks the pure-XLA tiled walk above the dense threshold.
+
+    Only the fallback for sharded callers WITHOUT a mesh in hand: when
+    the mesh is known, ``trace.shard_tracing`` wraps the Pallas backends
+    in shard_map instead, keeping "auto" on the fused tile-walk."""
     if settings.tracer != "auto":
         return settings
     import dataclasses
@@ -110,8 +115,13 @@ def make_sharded_render(
     shard_map manual-halo version (parallel/halo.py) — one ppermute of
     exactly ``step`` halo rows per field per à-trous level instead of
     compiler-chosen collectives around every roll. Numerically identical
-    (tests/test_halo.py)."""
-    settings = _xla_tracer(settings)
+    (tests/test_halo.py).
+
+    Pallas tracer backends run inside shard_map over the mesh
+    (trace.shard_tracing), so ``tracer="auto"`` keeps the fused Pallas
+    tile-walk on sharded large scenes."""
+    from hikari_tpu.trace.api import shard_tracing
+
     denoise_fn = None
     if manual_halo_denoise:
         from hikari_tpu.parallel.halo import denoise_channel_sharded
@@ -122,9 +132,10 @@ def make_sharded_render(
 
     @jax.jit
     def step(scene, camera, state):
-        out, new_state = render_frame(
-            scene, camera, state, settings, denoise_fn=denoise_fn
-        )
+        with shard_tracing(mesh, axis):
+            out, new_state = render_frame(
+                scene, camera, state, settings, denoise_fn=denoise_fn
+            )
         constrained = jax.lax.with_sharding_constraint(
             out.image, _image_spec(mesh, out.image.ndim, axis)
         )
@@ -159,14 +170,26 @@ DIFF_LEAVES = (
 )
 
 
-def make_train_step(settings: RenderSettings, sharded: bool = False):
+def make_train_step(
+    settings: RenderSettings,
+    sharded: bool = False,
+    mesh: Mesh | None = None,
+    axis="tiles",
+):
     """Full training step: forward render + backward through shading/
     denoise/tonemap, returning gradients w.r.t. the differentiable scene
     leaves (materials, lights, world-space vertices at fixed hit
     topology). Under a sharded mesh, GSPMD all-reduces these replicated-
-    parameter gradients over ICI; pass ``sharded=True`` there so tracer
-    auto-dispatch stays on GSPMD-partitionable backends."""
-    if sharded:
+    parameter gradients over ICI. Pass the ``mesh`` there so the Pallas
+    tracer backends run inside shard_map (rays sharded over ``axis``);
+    ``sharded=True`` without a mesh falls back to restricting tracer
+    auto-dispatch to GSPMD-partitionable backends."""
+    shard_ctx = None
+    if mesh is not None:
+        from hikari_tpu.trace.api import shard_tracing
+
+        shard_ctx = partial(shard_tracing, mesh, axis)
+    elif sharded:
         settings = _xla_tracer(settings)
 
     def split(scene):
@@ -188,9 +211,10 @@ def make_train_step(settings: RenderSettings, sharded: bool = False):
         def loss_fn(p):
             return render_loss(merge(scene, p), camera, state, target, settings)
 
-        (loss, (out, new_state)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
+        with shard_ctx() if shard_ctx is not None else contextlib.nullcontext():
+            (loss, (out, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
         return loss, grads, out, new_state
 
     return train_step

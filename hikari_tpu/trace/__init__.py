@@ -7,6 +7,7 @@ from hikari_tpu.trace.api import (
     hit_info,
     occlude_hit_info,
     refine_hit,
+    shard_tracing,
     trace_rays,
 )
 from hikari_tpu.trace.intersect import (
@@ -21,6 +22,7 @@ __all__ = [
     "hit_info",
     "occlude_hit_info",
     "refine_hit",
+    "shard_tracing",
     "trace_rays",
     "inside_aabb",
     "intersects_aabb",

@@ -26,12 +26,14 @@ SURVEY.md §2.4 item 3).
 
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
+from jax.sharding import PartitionSpec
 
 from hikari_tpu.config import DISTANCE_MAX, F32_MAX
 from hikari_tpu.scene.buffers import SceneBuffers
@@ -60,6 +62,77 @@ class Hit:
     @property
     def missed(self):
         return self.prim < 0
+
+
+# ---------------------------------------------------------------------------
+# Sharded dispatch: shard_map wrapper for the Pallas backends
+# ---------------------------------------------------------------------------
+
+_SHARD_CTX: list = []  # stack of (mesh, axis-or-axes) entries
+
+
+@contextlib.contextmanager
+def shard_tracing(mesh, axis=None):
+    """Trace-time context for sharded pipelines. ``pallas_call`` has no
+    GSPMD partitioning rule, so inside a plain sharded ``jit`` the
+    partitioner replicates its operands (full-resolution rays on every
+    device). While this context is active, every Pallas trace backend
+    (pallas_tiled / pallas / scatter) is instead wrapped in ``shard_map``
+    over flat rays: rays shard across ``axis`` (a mesh axis name or tuple
+    of names; default: all mesh axes), the scene replicates, and each
+    device runs the kernel on its own ray shard. XLA backends are left
+    to GSPMD, which partitions them cleanly.
+
+    Used by parallel/sharding.py's ``make_sharded_render`` /
+    ``make_train_step`` — this is what lets ``tracer="auto"`` keep the
+    fast fused tile-walk on pod-sharded large scenes instead of falling
+    back to the XLA lockstep walk (the round-2 ``auto_xla`` caveat)."""
+    if axis is None:
+        axis = tuple(mesh.axis_names)
+    _SHARD_CTX.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _SHARD_CTX.pop()
+
+
+def _shard_backend(fn, scene, arrays, fills):
+    """Run backend ``fn(scene, *arrays) -> Hit`` under shard_map, rays
+    sharded on dim 0 over the active context's mesh axes. Ray count is
+    padded to the shard count with inert rays (maxd=0, hi=0: they retire
+    immediately and can't hit anything)."""
+    from jax import shard_map
+
+    mesh, axis = _SHARD_CTX[-1]
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
+    R = arrays[0].shape[0]
+    Rp = -(-R // n) * n
+
+    def pad(x, fill):
+        if Rp == R:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((Rp - R,) + x.shape[1:], fill, dtype=x.dtype)]
+        )
+
+    padded = tuple(pad(x, f) for x, f in zip(arrays, fills))
+    spec = PartitionSpec(axes if len(axes) > 1 else axes[0])
+    scene_specs = jax.tree_util.tree_map(lambda _: PartitionSpec(), scene)
+
+    wrapped = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(scene_specs,) + (spec,) * len(padded),
+        out_specs=spec,
+        check_vma=False,
+    )
+    hit = wrapped(scene, *padded)
+    if Rp != R:
+        hit = jax.tree_util.tree_map(lambda x: x[:R], hit)
+    return hit
 
 
 def trace_rays(
@@ -112,9 +185,11 @@ def trace_rays(
         #
         # "auto_xla" restricts the choice to pure-XLA backends:
         # pallas_call has no GSPMD partitioning rule, so under a sharded
-        # pipeline the partitioner would replicate its operands. The
-        # sharded entry points (parallel/sharding.py) select this mode;
-        # the XLA tiled walk partitions cleanly over row-sharded rays.
+        # pipeline WITHOUT an active shard_tracing context the
+        # partitioner would replicate its operands. Sharded entry points
+        # (parallel/sharding.py) enter shard_tracing, which keeps "auto"
+        # on the Pallas tile-walk (wrapped in shard_map); auto_xla
+        # remains the fallback for sharded callers with no mesh in hand.
         on_tpu = (
             method == "auto" and jax.default_backend() == "tpu"
         )
@@ -127,21 +202,43 @@ def trace_rays(
         else:
             method = "bvh"
 
+    # Pallas backends under an active shard_tracing context run inside
+    # shard_map (rays sharded, scene replicated); everything else stays
+    # in GSPMD, which partitions plain XLA cleanly.
+    shmap = bool(_SHARD_CTX)
     if method == "bruteforce":
         hit = _trace_bruteforce(scene, o, d, maxd, excl, lo, hi)
     elif method == "bvh":
         early = per_ray(early_distance, 0.0).astype(jnp.float32)
         hit = _trace_bvh(scene, o, d, maxd, early, excl, lo, hi, max_steps)
     elif method == "pallas":
-        hit = _trace_pallas(scene, o, d, maxd, excl, lo, hi)
+        args = (o, d, maxd, excl, lo, hi)
+        fills = (0.0, 1.0, 0.0, -1, 0, 0)
+        hit = (
+            _shard_backend(_trace_pallas, scene, args, fills)
+            if shmap
+            else _trace_pallas(scene, *args)
+        )
     elif method == "tiled":
         early = per_ray(early_distance, 0.0).astype(jnp.float32)
         hit = _trace_tiled(scene, o, d, maxd, early, excl, lo, hi)
     elif method == "pallas_tiled":
         early = per_ray(early_distance, 0.0).astype(jnp.float32)
-        hit = _trace_pallas_tiled(scene, o, d, maxd, early, excl, lo, hi)
+        args = (o, d, maxd, early, excl, lo, hi)
+        fills = (0.0, 1.0, 0.0, 0.0, -1, 0, 0)
+        hit = (
+            _shard_backend(_trace_pallas_tiled, scene, args, fills)
+            if shmap
+            else _trace_pallas_tiled(scene, *args)
+        )
     elif method == "scatter":
-        hit = _trace_scatter(scene, o, d, maxd, excl, lo, hi)
+        args = (o, d, maxd, excl, lo, hi)
+        fills = (0.0, 1.0, 0.0, -1, 0, 0)
+        hit = (
+            _shard_backend(_trace_scatter, scene, args, fills)
+            if shmap
+            else _trace_scatter(scene, *args)
+        )
     else:
         raise ValueError(f"unknown trace method {method!r}")
 
