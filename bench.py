@@ -58,17 +58,32 @@ def main():
 
     import jax.numpy as jnp
 
+    import argparse
+
     from hikari_tpu.config import Upscale
-    from hikari_tpu.io.scenes import cornell_config
+    from hikari_tpu.io.scenes import CONFIGS
     from hikari_tpu.parallel import make_train_step
     from hikari_tpu.render import initial_state
     from hikari_tpu.scene import build_scene_buffers
 
-    width, height = 1920, 1080
-    scene, camera, settings = cornell_config()
-    # The reference's default pipeline renders 1080p output at half
-    # internal resolution (SMAA TU4x ratio 2.0, src/lib.rs:491-499) —
-    # benchmark the same configuration.
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--config", default="cornell", choices=sorted(CONFIGS),
+        help="pipeline scene; the driver-run default (cornell @1080p) is "
+        "the BASELINE north-star metric, the others add full-pipeline "
+        "fwd+grad numbers on real geometry (scene=FlightHelmet 95k tris, "
+        "city=procedural city) at 512p",
+    )
+    args = ap.parse_args()
+
+    if args.config == "cornell":
+        width, height = 1920, 1080
+    else:
+        width, height = 512, 512
+    scene, camera, settings = CONFIGS[args.config]()
+    # The reference's default pipeline renders output at half internal
+    # resolution (SMAA TU4x ratio 2.0, src/lib.rs:491-499) — benchmark
+    # the same configuration for every scene.
     from hikari_tpu.config import Taa
 
     settings = settings.replace(
@@ -142,7 +157,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "rays/sec/chip fwd+grad, 1080p Cornell",
+                "metric": (
+                    "rays/sec/chip fwd+grad, 1080p Cornell"
+                    if args.config == "cornell"
+                    else f"rays/sec/chip fwd+grad, {height}p {args.config}"
+                ),
                 "value": rays_per_sec,
                 "unit": "rays/s",
                 "vs_baseline": rays_per_sec / BASELINE_RAYS_PER_SEC,

@@ -147,10 +147,9 @@ def main():
                 budget = args.rays if buffers.num_tris <= 10_000 else 1 << 16
             elif method == "pallas_tiled":
                 # per-tile early exit: kernel cost scales with visited
-                # clusters; the XLA phase-1 entry pass now runs at
-                # supercluster granularity (rays x tris/1024 AABB tests)
-                # — cap those pairs
-                budget = max(1 << 16, int(4e12) // max(buffers.num_tris, 1))
+                # clusters, but the XLA phase-1 entry pass is rays x
+                # (tris/cluster) AABB tests — cap those pairs
+                budget = max(1 << 16, int(5.1e11) // max(buffers.num_tris, 1))
             elif method == "scatter":
                 # exact entered-pair cost, but the item arrays are
                 # items_per_ray * R wide — cap the footprint

@@ -142,8 +142,9 @@ class RenderSettings:
 
     # Keep reservoir RADIANCE attached through the spatial-reuse merge so
     # spatially-reused light carries parameter gradients (selection stays
-    # detached; see render/spatial.py policy note). Off by default: adds
-    # backward-sweep residuals per tap.
+    # detached; see render/spatial.py policy note). Off by default:
+    # measured (tools/measure_spatial_grads.py) at +52% gradient time for
+    # no detectable change in gradient mass or estimator noise on cornell.
     spatial_radiance_grads: bool = False
 
     # Bandwidth-pack the cross-frame reservoir state to f16 (positions stay

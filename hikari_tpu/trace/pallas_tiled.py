@@ -93,8 +93,11 @@ def pack_clusters(scene, cluster: int = CLUSTER):
     return packed, cmin, cmax, cvalid
 
 
-def _make_kernel(tile_r: int, cluster: int):
-    """Kernel specialized to (rays per tile, triangles per cluster)."""
+def _make_kernel(tile_r: int, cluster: int, use_skip: bool = True):
+    """Kernel specialized to (rays per tile, triangles per cluster).
+    ``use_skip`` gates the in-kernel per-cluster AABB re-test against the
+    rays' current bests (scene-dependent ±6%; see the note above
+    trace_pallas_tiled)."""
     TILE_R, CLUSTER = tile_r, cluster
 
     def _kernel(
@@ -229,6 +232,19 @@ def _make_kernel(tile_r: int, cluster: int):
             cid = order_ref[0, 0, jnp.minimum(j, L - 1)]
             base = (cid * CLUSTER).astype(jnp.float32)
 
+            if not use_skip:
+                bt, bp, bu, bv = test_cluster(slot, base, (bt, bp, bu, bv))
+                e_next_ns = entry_ref[0, 0, jnp.minimum(j + 1, L - 1)]
+                bt_ray_ns = jnp.min(bt, axis=0, keepdims=True)
+                done_ns = jnp.any(
+                    (bp >= 0.0) & (bt < early), axis=0, keepdims=True
+                )
+                open_ns = (~done_ns) & (bt_ray_ns > e_next_ns)
+                cont_ns = (
+                    (j + 1 < L) & (e_next_ns < F32_MAX) & jnp.any(open_ns)
+                )
+                return (j + 1, cont_ns, bt, bp, bu, bv)
+
             # In-kernel cluster skip: re-test the cluster AABB (packed in
             # row 0, cols 16:22) against every ray's CURRENT best. Phase 1
             # queued this cluster against the initial max distance; once
@@ -301,27 +317,29 @@ def _make_kernel(tile_r: int, cluster: int):
     return _kernel
 
 
-SUPER = 16  # clusters per phase-1 supercluster
+# use_skip (off by default, correctness-neutral — see the test in
+# tests/test_trace.py): in-kernel per-cluster AABB re-test against the
+# rays' CURRENT bests, gating the dense test. Measured on v5e
+# (tools/ablate_tiled.py) it is scene-dependent within ±6% — city-8
+# (52 clusters) 14.4 -> 13.5 Mrays/s, FlightHelmet (1481) 1.91 -> 2.01,
+# terrain-1m (15672) 0.59 -> 0.56 — so it is NOT auto-enabled; no
+# cluster-count threshold generalizes across those three. A
+# supercluster-granularity phase 1 (16 clusters per slab test, repaired
+# by this skip) was also measured and REJECTED: the coarser near-to-far
+# order roughly halves throughput (helmet 1.91 -> 0.98).
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "tile_r", "cluster", "super_size")
+    jax.jit,
+    static_argnames=("interpret", "tile_r", "cluster", "use_skip"),
 )
 def trace_pallas_tiled(
     packed, cmin, cmax, cvalid, o, d, maxd, early, excl, lo, hi,
     interpret=False, tile_r: int = TILE_R, cluster: int = CLUSTER,
-    super_size: int = SUPER,
+    use_skip: bool = False,
 ):
     """Closest-hit over (R,) flat rays, R a multiple of tile_r (caller
-    pads + sorts, trace/api.py). Returns (t, prim, u, v).
-
-    Phase 1 runs at SUPERCLUSTER granularity (``super_size`` clusters per
-    slab test): the per-ray entry pass costs rays x L/super instead of
-    rays x L, and a supercluster's entry lower-bounds every member
-    cluster's entry, so the expanded near-to-far order stays ascending
-    and the kernel's retirement test stays sound. The coarser ordering
-    is repaired in-kernel by the per-cluster AABB skip (clusters whose
-    box can't beat any ray's current best cost ~8% of a dense test)."""
+    pads + sorts, trace/api.py). Returns (t, prim, u, v)."""
     TILE_R_, CLUSTER_ = tile_r, cluster
     R = o.shape[0]
     T = R // TILE_R_
@@ -330,45 +348,14 @@ def trace_pallas_tiled(
     ot = o.reshape(T, TILE_R_, 3)
     inv_d = safe_inv_dir(d).reshape(T, TILE_R_, 3)
     maxdt = maxd.reshape(T, TILE_R_)
-    sc = max(1, min(super_size, L))
-    if sc > 1:
-        Ls = -(-L // sc)
-        Lp = Ls * sc
-        big = jnp.float32(F32_MAX)
-        cmin_p = jnp.concatenate(
-            [cmin, jnp.full((Lp - L, 3), big)]
-        ) if Lp != L else cmin
-        cmax_p = jnp.concatenate(
-            [cmax, jnp.full((Lp - L, 3), -big)]
-        ) if Lp != L else cmax
-        cval_p = jnp.concatenate(
-            [cvalid, jnp.zeros((Lp - L,), cvalid.dtype)]
-        ) if Lp != L else cvalid
-        smin = cmin_p.reshape(Ls, sc, 3).min(axis=1)
-        smax = cmax_p.reshape(Ls, sc, 3).max(axis=1)
-        svalid = cval_p.reshape(Ls, sc).any(axis=1)
-        entry_sc = tile_cluster_entries(
-            smin, smax, svalid, ot, inv_d, maxdt
-        )  # (T, Ls)
-        order_sc = jnp.argsort(entry_sc, axis=1).astype(jnp.int32)
-        entry_sorted_sc = jnp.take_along_axis(entry_sc, order_sc, axis=1)
-        # Expand each supercluster to its member cluster ids; padded ids
-        # (>= L) clamp to L-1 — idempotent re-tests the kernel's AABB
-        # skip makes cheap, and only the globally-last group has them.
-        order = (
-            order_sc[:, :, None] * sc
-            + jnp.arange(sc, dtype=jnp.int32)[None, None, :]
-        ).reshape(T, Lp)
-        order = jnp.minimum(order, L - 1)
-        entry_sorted = jnp.repeat(entry_sorted_sc, sc, axis=1)
-    else:
-        entry_min = tile_cluster_entries(
-            cmin, cmax, cvalid, ot, inv_d, maxdt
-        )  # (T, L)
-        order = jnp.argsort(entry_min, axis=1).astype(jnp.int32)
-        entry_sorted = jnp.take_along_axis(entry_min, order, axis=1)
-    order = order[:, None]  # (T, 1, L'): unit sublane dim for SMEM blocks
+    entry_min = tile_cluster_entries(
+        cmin, cmax, cvalid, ot, inv_d, maxdt
+    )  # (T, L)
+    order = jnp.argsort(entry_min, axis=1).astype(jnp.int32)
+    entry_sorted = jnp.take_along_axis(entry_min, order, axis=1)
+    order = order[:, None]  # (T, 1, L): unit sublane dim for SMEM blocks
     entry_sorted = entry_sorted[:, None]
+    Lk = order.shape[2]
 
     rays = jnp.stack(
         [
@@ -389,14 +376,14 @@ def trace_pallas_tiled(
         (1, 1, TILE_R_), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     t, prim, u, v = pl.pallas_call(
-        _make_kernel(TILE_R_, CLUSTER_),
+        _make_kernel(TILE_R_, CLUSTER_, use_skip),
         grid=(T,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, L), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+                (1, 1, Lk), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, 1, L), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+                (1, 1, Lk), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
                 (1, 16, TILE_R_), lambda i: (i, 0, 0),

@@ -103,7 +103,8 @@ def tile_cluster_entries(cmin, cmax, cvalid, ot, inv_d, maxdt):
         e = jnp.where(hit, entry, F32_MAX)
         return e.min(axis=0)  # (L,)
 
-    def per_tile(oT, iT, mT):
+    def per_tile(args):
+        oT, iT, mT = args
         subs = ot.shape[1] // SUB_R
         es = [
             tile_entry(
@@ -115,7 +116,17 @@ def tile_cluster_entries(cmin, cmax, cvalid, ot, inv_d, maxdt):
         ]
         return jnp.stack(es).min(axis=0)
 
-    return jax.vmap(per_tile)(ot, inv_d, maxdt)  # (T, L)
+    # Bound the (tiles_in_flight, SUB_R, L, 3) slab intermediate to
+    # ~256 MB: a plain vmap over tiles materializes it for ALL tiles at
+    # once, which at 1M rays x 1M triangles (L ~ 16k clusters) is ~15 GB
+    # and OOMs the chip. lax.map's batch_size vmaps within a chunk and
+    # scans across chunks (remainder handled), keeping phase 1 streaming.
+    L = cmin.shape[0]
+    per_tile_bytes = SUB_R * L * 3 * 4
+    chunk = int(max(1, min(ot.shape[0], (256 << 20) // max(per_tile_bytes, 1))))
+    return jax.lax.map(
+        per_tile, (ot, inv_d, maxdt), batch_size=chunk
+    )  # (T, L)
 
 
 def safe_inv_dir(d):

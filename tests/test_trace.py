@@ -397,24 +397,31 @@ def test_auto_xla_dispatch():
     np.testing.assert_allclose(np.asarray(ref.t), np.asarray(ax.t), atol=1e-3)
 
 
-def test_pallas_tiled_multisupercluster():
-    """Phase 1 of the fused tile-walk runs at supercluster granularity
-    (pallas_tiled.SUPER clusters per slab test). This scene has > SUPER
-    clusters, so the expanded near-to-far order spans several
-    superclusters and the in-kernel per-cluster AABB skip must repair
-    the coarser ordering without dropping hits."""
+def test_pallas_tiled_inkernel_skip(monkeypatch):
+    """The in-kernel per-cluster AABB skip (trace_pallas_tiled's
+    ``use_skip``, an off-by-default measured tuning knob) re-tests each
+    cluster's box against the rays' current bests and skips provably-dead
+    clusters — it must never change the result. Forced on here via the
+    module entry point trace/api.py resolves at call time."""
+    import functools
+
     from hikari_tpu.io.scenes import procedural_city, _sun_from_euler
     from hikari_tpu.scene import build_scene_buffers
     from hikari_tpu.scene.compile import Scene
     from hikari_tpu.trace import pallas_tiled
+
+    monkeypatch.setattr(
+        pallas_tiled,
+        "trace_pallas_tiled",
+        functools.partial(pallas_tiled.trace_pallas_tiled, use_skip=True),
+    )
 
     scene = procedural_city(
         Scene(materials=[], directional_light=_sun_from_euler(-1, 0.6, 0)),
         blocks=16,
     )
     b = build_scene_buffers(scene)
-    n_clusters = -(-b.num_tris // pallas_tiled.CLUSTER)
-    assert n_clusters > pallas_tiled.SUPER, n_clusters
+    assert -(-b.num_tris // 64) > 64  # long cluster lists
 
     rng = np.random.default_rng(77)
     n = 520
