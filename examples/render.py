@@ -23,6 +23,12 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument(
+        "--stream", action="store_true",
+        help="city.rs-style model streaming: start with most instances "
+        "inactive and activate a batch per frame via the device-side "
+        "visibility mask (scene/update.py update_activity) — no recompile",
+    )
     args = ap.parse_args()
 
     import jax
@@ -42,9 +48,32 @@ def main():
     buffers = build_scene_buffers(scene)
     state = initial_state(settings)
 
+    stream_plan = None
+    if args.stream:
+        # Stream instances in over time like examples/city.rs:23: keep the
+        # first instance (ground), activate the rest in per-frame batches.
+        import numpy as np
+
+        from hikari_tpu.scene import update_activity
+
+        I = buffers.num_instances
+        active = np.zeros(I, dtype=bool)
+        active[0] = True
+        buffers = update_activity(buffers, active)
+        batch = max(1, (I - 1) // max(args.frames - 1, 1) + 1)
+        stream_plan = (active, batch, update_activity)
+
     t0 = time.time()
     out = None
     for i in range(args.frames):
+        if stream_plan is not None:
+            active, batch, update_activity = stream_plan
+            nxt = active.copy()
+            lo = 1 + i * batch
+            nxt[lo : lo + batch] = True
+            if not np.array_equal(nxt, active):
+                buffers = update_activity(buffers, nxt)
+                stream_plan = (nxt, batch, update_activity)
         out, state = render_frame_jit(buffers, cam, state, settings)
     jax.block_until_ready(out.image)
     dt = time.time() - t0

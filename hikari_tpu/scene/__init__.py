@@ -19,7 +19,11 @@ from hikari_tpu.scene.compile import (
 from hikari_tpu.scene.buffers import SceneBuffers, build_scene_buffers, to_device
 from hikari_tpu.scene.bvh import FlatBvh, build_flat_bvh, validate_flat_bvh
 from hikari_tpu.scene.alias import build_alias_table
-from hikari_tpu.scene.update import SceneUpdater, update_transforms
+from hikari_tpu.scene.update import (
+    SceneUpdater,
+    update_activity,
+    update_transforms,
+)
 
 __all__ = [
     "Mesh",
@@ -41,5 +45,6 @@ __all__ = [
     "validate_flat_bvh",
     "build_alias_table",
     "SceneUpdater",
+    "update_activity",
     "update_transforms",
 ]

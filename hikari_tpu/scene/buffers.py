@@ -77,6 +77,13 @@ class SceneBuffers:
     inst_model: jax.Array
     inst_prev_model: jax.Array
     inst_inv_model: jax.Array
+    # Streaming/visibility mask (reference: city.rs streams models in over
+    # time; instance.rs:269-283 retries unready assets; visibility events
+    # instance.rs:130-175). Instances are pre-declared at compile time and
+    # toggled on device — scene/update.py masks triangles, AABBs and
+    # emissives so an inactive instance traces, shades and samples as if
+    # absent, with no host recompile.
+    inst_active: jax.Array  # (I,) bool
     # materials — differentiable leaves
     mat_base_color: jax.Array
     mat_emissive: jax.Array
@@ -197,6 +204,7 @@ def to_device(
         inst_model=dev(arrays.inst_model),
         inst_prev_model=dev(arrays.inst_prev_model),
         inst_inv_model=dev(arrays.inst_inv_model),
+        inst_active=jnp.ones((num_inst,), dtype=bool),
         mat_base_color=dev(arrays.mat_base_color),
         mat_emissive=dev(arrays.mat_emissive),
         mat_perceptual_roughness=dev(arrays.mat_perceptual_roughness),

@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hikari_tpu.config import UniversalSettings
+from hikari_tpu.config import F32_MAX, UniversalSettings
 from hikari_tpu.scene.buffers import SceneBuffers
 
 
@@ -150,14 +150,32 @@ def update_transforms(
     nlen = jnp.sqrt(jnp.maximum(NX * NX + NY * NY + NZ * NZ, 1e-24))
     vert_normal = jnp.stack([NX / nlen, NY / nlen, NZ / nlen], axis=-1)
 
+    # ---- instance activity (streaming/visibility mask) ----
+    # Inactive instances trace/shade/sample as if absent: their triangles
+    # are invalid, their AABBs are EMPTY boxes (min=+MAX, max=-MAX —
+    # neutral under the min/max refit and segment reduces, so bounds
+    # collapse and traversal skips them), their areas are 0, and their
+    # emissive spheres are parked at 1e30 with radius 0 (never contain a
+    # shading point, never picked by the light walk).
+    active_tri = scene.inst_active[ti] & (scene.tri_inst >= 0)
+
     # ---- triangle AABB planes ----
     txyz = [wx, wy, wz]
+    big = jnp.float32(F32_MAX)
     tmin = {
-        c: jnp.minimum(jnp.minimum(txyz[c][0], txyz[c][1]), txyz[c][2])
+        c: jnp.where(
+            active_tri,
+            jnp.minimum(jnp.minimum(txyz[c][0], txyz[c][1]), txyz[c][2]),
+            big,
+        )
         for c in range(3)
     }
     tmax = {
-        c: jnp.maximum(jnp.maximum(txyz[c][0], txyz[c][1]), txyz[c][2])
+        c: jnp.where(
+            active_tri,
+            jnp.maximum(jnp.maximum(txyz[c][0], txyz[c][1]), txyz[c][2]),
+            -big,
+        )
         for c in range(3)
     }
 
@@ -231,12 +249,19 @@ def update_transforms(
         cxp = e1[1] * e2[2] - e1[2] * e2[1]
         cyp = e1[2] * e2[0] - e1[0] * e2[2]
         czp = e1[0] * e2[1] - e1[1] * e2[0]
-        area = 0.5 * jnp.sqrt(cxp * cxp + cyp * cyp + czp * czp)
+        area = jnp.where(
+            active_tri, 0.5 * jnp.sqrt(cxp * cxp + cyp * cyp + czp * czp), 0.0
+        )
         inst_area = jax.ops.segment_sum(area, seg, num_segments=I + 1)[:I]
 
         em_inst = jnp.clip(scene.em_instance, 0, I - 1)
-        center = 0.5 * (inst_min[em_inst] + inst_max[em_inst])  # (E,3)
-        diag = inst_max[em_inst] - inst_min[em_inst]
+        active_em = scene.inst_active[em_inst]  # (E,)
+        # Empty boxes of inactive instances are (+MAX, -MAX): guard the
+        # center/diag math behind the activity select.
+        e_min = jnp.where(active_em[:, None], inst_min[em_inst], 0.0)
+        e_max = jnp.where(active_em[:, None], inst_max[em_inst], 0.0)
+        center = 0.5 * (e_min + e_max)  # (E,3)
+        diag = e_max - e_min
         emissive = scene.mat_emissive[scene.inst_material[em_inst]]  # (E,4)
         intensity = (
             255.0
@@ -248,8 +273,8 @@ def update_transforms(
         radius = 0.5 * jnp.linalg.norm(diag, axis=-1) + jnp.sqrt(
             jnp.maximum(intensity, 0.0)
         )
-        em_position = center
-        em_radius = radius
+        em_position = jnp.where(active_em[:, None], center, 1e30)
+        em_radius = jnp.where(active_em, radius, 0.0)
         em_surface_area = inst_area[em_inst]
 
         EN = scene.enode_entry.shape[0]
@@ -282,7 +307,7 @@ def update_transforms(
         tri_cn=pre["cn"],
         tri_cu=pre["cu"],
         tri_cv=pre["cv"],
-        tri_valid=pre["valid"],
+        tri_valid=pre["valid"] & active_tri,
         vert_normal=vert_normal,
         node_min=node_min,
         node_max=node_max,
@@ -296,6 +321,32 @@ def update_transforms(
         em_surface_area=em_surface_area,
         enode_min=enode_min,
         enode_max=enode_max,
+    )
+
+
+def update_activity(
+    scene: SceneBuffers,
+    active,
+    universal: UniversalSettings = UniversalSettings(),
+) -> SceneBuffers:
+    """Toggle per-instance visibility / streaming state on device — the
+    analogue of the reference's asset streaming (city.rs:23 loads models
+    in over time; instance.rs:269-283 retries unready assets) and
+    visibility change events (instance.rs:130-175). Instances are
+    pre-declared at compile time; flipping ``active`` masks triangles,
+    collapses the instance's AABBs out of the BVHs (device refit), zeroes
+    its surface areas and parks its emissive sphere — same shapes, same
+    treedef, no recompile. ``active``: (num_instances,) bool."""
+    scene = dataclasses.replace(
+        scene, inst_active=jnp.asarray(active).astype(bool)
+    )
+    # Re-derive all activity-dependent arrays through the jitted transform
+    # update at unchanged transforms (history preserved).
+    return update_transforms(
+        scene,
+        scene.inst_model,
+        prev_models=scene.inst_prev_model,
+        universal=universal,
     )
 
 
@@ -345,6 +396,17 @@ class SceneUpdater:
         for i, inst in enumerate(self.scene.instances):
             inst.previous_transform = inst.transform
             inst.transform = models[i]
+        return self.buffers
+
+    def set_active(self, changes: dict[int, bool]):
+        """Stream instances in/out: {instance_id: active}. Device-only
+        masking via ``update_activity`` — no recompile, no re-upload."""
+        active = np.asarray(self.buffers.inst_active).copy()
+        for i, a in changes.items():
+            active[i] = bool(a)
+        self.buffers = update_activity(
+            self.buffers, jnp.asarray(active), universal=self.universal
+        )
         return self.buffers
 
     def _maybe_rebuild_alias(self, models: np.ndarray):

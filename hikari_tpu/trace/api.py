@@ -678,6 +678,7 @@ def _trace_bvh_chunk(scene, o, d, maxd, early, excl, lo, hi, max_steps: int = 0)
         not_excluded = (ninst < 0) | (ninst != excl)
         tri_ok = (
             is_leaf
+            & scene.tri_valid[safe_prim]  # degenerate/deactivated prims
             & (t < best_t)
             & not_excluded
             & (prim_id >= lo)

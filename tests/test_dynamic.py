@@ -319,3 +319,123 @@ def test_camera_motion_reprojection(dyn_scene):
     # foreground pixels keep multi-frame reservoirs.
     counts = np.asarray(state.direct_temporal.count)
     assert (counts > 1.5).mean() > 0.4, (counts > 1.5).mean()
+
+
+# ---------------------------------------------------------------------------
+# Instance streaming / visibility (update_activity): city.rs streams models
+# in over time (examples/city.rs:23); instance.rs:269-283 retries unready
+# assets; visibility events instance.rs:130-175. Here instances are
+# pre-declared and toggled on device with no recompile.
+# ---------------------------------------------------------------------------
+
+
+def test_activity_trace_matches_exclusion(dyn_buffers):
+    """Deactivating instance k must trace exactly like excluding it —
+    for the dense, lockstep-walk and fused-Pallas backends."""
+    from hikari_tpu.scene import update_activity
+    from hikari_tpu.trace import trace_rays
+
+    rng = np.random.default_rng(11)
+    n = 512
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
+    o = o.at[:, 1].set(jnp.abs(o[:, 1]) + 0.5)
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    k = 2  # pink cube
+    active = np.ones(dyn_buffers.num_instances, dtype=bool)
+    active[k] = False
+    off = update_activity(dyn_buffers, jnp.asarray(active))
+    excl = jnp.full((n,), k, jnp.int32)
+    for method in ("bruteforce", "bvh", "pallas_tiled"):
+        ref = trace_rays(dyn_buffers, o, d, exclude_instance=excl,
+                         method=method)
+        got = trace_rays(off, o, d, method=method)
+        np.testing.assert_allclose(
+            np.asarray(ref.t), np.asarray(got.t), atol=1e-4, err_msg=method
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.prim), np.asarray(got.prim), err_msg=method
+        )
+
+
+def test_activity_roundtrip_render(dyn_scene, dyn_buffers):
+    """Deactivate -> image changes; re-activate -> image restored exactly
+    (same treedef, same executable, streaming state fully reversible)."""
+    from hikari_tpu.config import RenderSettings, Taa, Upscale
+    from hikari_tpu.io.scenes import Camera
+    from hikari_tpu.render import initial_state, render_frame_jit
+    from hikari_tpu.scene import update_activity
+
+    settings = RenderSettings(
+        width=48, height=48, upscale=Upscale.none(), denoise=False,
+        taa=Taa.NONE, indirect_bounces=1,
+    )
+    cam = Camera.from_lookat(eye=(-6.0, 3.0, 10.0), target=(0.0, 0.5, 0.0))
+    state = initial_state(settings)
+
+    base, _ = render_frame_jit(dyn_buffers, cam, state, settings)
+    active = np.ones(dyn_buffers.num_instances, dtype=bool)
+    active[2] = False  # pink cube
+    active[4] = False  # bright emissive sphere
+    off = update_activity(dyn_buffers, jnp.asarray(active))
+    hidden, _ = render_frame_jit(off, cam, state, settings)
+    assert not np.allclose(
+        np.asarray(base.image), np.asarray(hidden.image), atol=1e-3
+    ), "deactivation changed nothing"
+
+    back = update_activity(off, jnp.ones(dyn_buffers.num_instances, bool))
+    restored, _ = render_frame_jit(back, cam, state, settings)
+    np.testing.assert_allclose(
+        np.asarray(base.image), np.asarray(restored.image), atol=2e-5
+    )
+
+
+def test_deactivated_emissive_never_picked(dyn_buffers):
+    """The light-candidate walk must never pick a streamed-out emissive:
+    its sphere is parked at 1e30 with radius 0."""
+    from hikari_tpu.render.sampling import _emissive_walk, NO_EMISSIVE
+    from hikari_tpu.scene import update_activity
+
+    # Points inside emissive A's (instance 4) influence sphere.
+    pos = jnp.asarray(
+        np.random.default_rng(3).uniform(-1, 1, (64, 3)).astype(np.float32)
+    ) + jnp.asarray([0.0, 4.0, 0.0])
+    rand = jnp.linspace(0.0, 1.0, 64)
+    excl = jnp.full((64,), -1, jnp.int32)
+
+    chosen, count = _emissive_walk(dyn_buffers, pos, excl, rand)
+    em_inst = np.asarray(dyn_buffers.em_instance)
+    assert (np.asarray(count) > 0).any()
+    picked_inst = em_inst[np.maximum(np.asarray(chosen), 0)]
+    assert (picked_inst[np.asarray(chosen) >= 0] == 4).any()
+
+    active = np.ones(dyn_buffers.num_instances, dtype=bool)
+    active[4] = False
+    off = update_activity(dyn_buffers, jnp.asarray(active))
+    chosen2, _ = _emissive_walk(off, pos, excl, rand)
+    picked2 = em_inst[np.maximum(np.asarray(chosen2), 0)]
+    ok2 = np.asarray(chosen2) >= 0
+    assert not (picked2[ok2] == 4).any(), "inactive emissive was picked"
+
+
+def test_activity_survives_transform_update(dyn_buffers):
+    """update_transforms after deactivation must keep the instance out
+    (the activity mask is part of the buffers, not transient)."""
+    from hikari_tpu.scene import update_activity
+    from hikari_tpu.trace import trace_rays
+
+    k = 3
+    active = np.ones(dyn_buffers.num_instances, dtype=bool)
+    active[k] = False
+    off = update_activity(dyn_buffers, jnp.asarray(active))
+    moved = update_transforms(off, off.inst_model)  # identity transforms
+    rng = np.random.default_rng(5)
+    n = 256
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
+    o = o.at[:, 1].set(jnp.abs(o[:, 1]) + 0.5)
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    hit = trace_rays(moved, o, d, method="bruteforce")
+    inst = np.asarray(hit.inst)
+    assert not (inst == k).any()
