@@ -98,58 +98,84 @@ def main():
     state = initial_state(settings)
     target = jnp.zeros(settings.output_size + (3,))
 
-    train_step = make_train_step(settings)
-
     device = jax.devices()[0]
     print(f"# device={device.platform} ({device.device_kind})", file=sys.stderr)
 
-    # Warmup / compile.
-    loss, grads, out, state = train_step(buffers, camera, state, target)
-    jax.block_until_ready(loss)
+    # HONEST timing (see tools/verify_bench.py and CLAUDE.md): through the
+    # remote-TPU tunnel, block_until_ready NEVER reliably waits — a loop of
+    # per-frame "blocked" train steps runs thousands of times faster than
+    # the device can compute, and the queued work only drains on a VALUE
+    # FETCH. The only bulletproof measurement is ONE jitted executable that
+    # runs `frames` steps internally (lax.scan over the train step, grads
+    # coupled into the carried scalar so nothing is DCE'd) followed by a
+    # float() fetch. Round-1/2 loop-timed numbers (17.8 / 8.15 Grays/s)
+    # were fiction from this; the real 1080p fwd+grad step is seconds.
+    from hikari_tpu.parallel.sharding import DIFF_LEAVES, render_loss
 
-    # Compiled-executable introspection: FLOPs for an MFU estimate.
+    frames = 2  # per timed executable; sized to stay under tunnel limits
+
+    def split(sc):
+        return {k: getattr(sc, k) for k in DIFF_LEAVES}
+
+    def merge(sc, params):
+        return type(sc)(**{
+            **{f: getattr(sc, f) for f in sc.__dataclass_fields__}, **params,
+        })
+
+    @jax.jit
+    def run_frames(sc, cam, st0, tgt):
+        p0 = split(sc)
+
+        def frame(carry, _):
+            st, acc = carry
+
+            def loss_fn(p):
+                return render_loss(merge(sc, p), cam, st, tgt, settings)
+
+            (loss, (out, new_st)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(p0)
+            gsum = sum(jnp.sum(jnp.abs(g)) for g in grads.values())
+            return (new_st, acc + loss + 1e-12 * gsum), None
+
+        (st_f, acc), _ = jax.lax.scan(
+            frame, (st0, jnp.float32(0.0)), None, length=frames
+        )
+        return acc, st_f
+
+    # Warmup / compile.
+    acc, _ = run_frames(buffers, camera, state, target)
+    _ = float(acc)
+
+    # Compiled-executable introspection: FLOPs for a rate estimate.
     flops = None
     try:
         cost = (
-            train_step.lower(buffers, camera, state, target)
+            run_frames.lower(buffers, camera, state, target)
             .compile()
             .cost_analysis()
         )
         if isinstance(cost, list):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
+        flops = (float(cost.get("flops", 0.0)) or None)
+        if flops:
+            flops /= frames
     except Exception:
         pass
 
-    # Dispatch-only baseline: how much of the loop is host/tunnel latency
-    # vs device compute (a trivial jitted op through the same path).
-    tiny = jax.jit(lambda x: x + 1.0)
-    _ = jax.block_until_ready(tiny(jnp.zeros(())))
-    t0 = time.perf_counter()
-    for _ in range(24):
-        r = tiny(jnp.zeros(()))
-    jax.block_until_ready(r)
-    dispatch_dt = time.perf_counter() - t0
-    print(f"# dispatch-only baseline: 24 ops in {dispatch_dt:.4f}s", file=sys.stderr)
-
-    # HONEST timing: through the remote-TPU tunnel, block_until_ready is
-    # only truthful for a SINGLE in-flight execution (with queued calls it
-    # returns without waiting — see CLAUDE.md). Block every frame; the
-    # ~25 ms per-call tunnel overhead is negligible against the step time.
-    frames = 3
     best_dt = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
-        for _ in range(frames):
-            loss, grads, out, state = train_step(buffers, camera, state, target)
-            jax.block_until_ready(loss)
+        acc, _ = run_frames(buffers, camera, state, target)
+        v = float(acc)  # value fetch = the only real sync on the tunnel
         dt_rep = time.perf_counter() - t0
         print(
             f"# rep {rep}: {frames} frames in {dt_rep:.4f}s "
-            f"({dt_rep / frames * 1e3:.2f} ms/frame)",
+            f"({dt_rep / frames * 1e3:.2f} ms/frame, acc={v:.6f})",
             file=sys.stderr,
         )
         best_dt = min(best_dt, dt_rep)
+    loss = acc
 
     rays = rays_per_frame(settings, buffers) * frames
     rays_per_sec = rays / best_dt

@@ -169,14 +169,14 @@ def main():
 
                 fn = jax.jit(run)
                 t = jax.block_until_ready(fn())  # compile+warm
-                # HONEST timing: block EVERY call — through the remote-TPU
-                # tunnel block_until_ready with >1 queued execution returns
-                # without waiting (CLAUDE.md). For sub-second calls, fold
-                # repetitions into ONE jitted lax.scan (origins perturbed
-                # per iteration to defeat CSE) so the ~25 ms per-call
-                # tunnel overhead amortizes without queueing executions.
+                # HONEST timing: a VALUE FETCH is the only sync the tunnel
+                # honors (block_until_ready can return without waiting —
+                # CLAUDE.md, tools/verify_bench.py). For sub-second calls,
+                # fold repetitions into ONE jitted lax.scan (origins
+                # perturbed per iteration to defeat CSE) so the ~25 ms
+                # per-call tunnel overhead amortizes without queueing.
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn())
+                _ = float(fn()[0])  # element fetch forces completion
                 probe = time.perf_counter() - t0
                 inner = int(max(1, min(64, 0.5 / max(probe, 1e-3))))
                 if inner > 1:
@@ -198,12 +198,12 @@ def main():
                         )
                         return acc
 
-                    fn = jax.jit(run_scan)
-                    jax.block_until_ready(fn())  # compile+warm
+                    fn = jax.jit(lambda: run_scan().reshape(1))
+                    _ = float(fn()[0])  # compile+warm
                 best = float("inf")
                 for _ in range(3):
                     t0 = time.perf_counter()
-                    jax.block_until_ready(fn())
+                    _ = float(fn()[0])  # fetch = the only real sync
                     best = min(best, (time.perf_counter() - t0) / inner)
                 rps = n_rays / best
                 hit_frac = float(np.isfinite(np.asarray(t)).mean())
