@@ -25,21 +25,54 @@ def nearest_sample(img, uv):
     return gather_pixels(img, y, x)
 
 
+def edge_shift(img, dy: int, dx: int):
+    """out[y, x] = img[clip(y + dy), clip(x + dx)] — a static shift with
+    exact clamp-to-edge addressing, built from pad(edge) + slice: zero
+    gathers (TPU gathers cost ~7.5 ns per output row; rolls/slices are
+    ~20x cheaper — tools/bench_gather.py)."""
+    h, w = img.shape[0], img.shape[1]
+    ay, by = max(-dy, 0), max(dy, 0)
+    ax, bx = max(-dx, 0), max(dx, 0)
+    pad = [(ay, by), (ax, bx)] + [(0, 0)] * (img.ndim - 2)
+    padded = jnp.pad(img, pad, mode="edge")
+    return padded[dy + ay : dy + ay + h, dx + ax : dx + ax + w]
+
+
+def _corner_pack(img):
+    """(H, W, C) -> (H, W, 4C): channels of the 2x2 quad at (y, x) —
+    [c00 | c10(x+1) | c01(y+1) | c11(y+1,x+1)], clamp-to-edge. One row
+    gather of the packed image fetches all four bilinear corners."""
+    if img.ndim == 2:
+        img = img[..., None]
+    return jnp.concatenate(
+        [img, edge_shift(img, 0, 1), edge_shift(img, 1, 0),
+         edge_shift(img, 1, 1)],
+        axis=-1,
+    )
+
+
 def bilinear_sample(img, uv):
-    """textureSampleLevel(..., linear) with clamp addressing."""
+    """textureSampleLevel(..., linear) with clamp addressing. The 2x2
+    corner quad is pre-packed into row channels (3 static edge-shifts)
+    so the dynamic fetch is ONE row gather instead of four."""
     x, y, h, w = _uv_to_xy(img, uv)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
     x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    c00 = gather_pixels(img, y0i, x0i)
-    c10 = gather_pixels(img, y0i, x1i)
-    c01 = gather_pixels(img, y1i, x0i)
-    c11 = gather_pixels(img, y1i, x1i)
+    # At the high edge the packed c10/c01/c11 clamp to the same texel,
+    # matching clip(x0i + 1, 0, w - 1).
+    C = img.shape[-1] if img.ndim == 3 else 1
+    quad = gather_pixels(_corner_pack(img), y0i, x0i)  # (..., 4C)
+    c00, c10, c01, c11 = (
+        quad[..., 0:C], quad[..., C:2 * C],
+        quad[..., 2 * C:3 * C], quad[..., 3 * C:4 * C],
+    )
+    if img.ndim == 2:
+        c00, c10, c01, c11 = (c[..., 0] for c in (c00, c10, c01, c11))
+        fx, fy = fx[..., 0], fy[..., 0]
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
     return top * (1 - fy) + bot * fy
@@ -48,17 +81,17 @@ def bilinear_sample(img, uv):
 def texture_gather(img, uv, component: int):
     """WGSL ``textureGather(component, ...)``: the 4 texels bilinear would
     blend, order (x, y, z, w) = (-+, ++, +-, --) quadrants — returns
-    (..., 4)."""
+    (..., 4). One row gather of the corner-packed component plane."""
     x, y, h, w = _uv_to_xy(img, uv)
     x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    c = img[..., component]
-    # WGSL gather order: (umin,vmax), (umax,vmax), (umax,vmin), (umin,vmin)
-    return jnp.stack(
-        [c[y1, x0], c[y1, x1], c[y0, x1], c[y0, x0]], axis=-1
+    c = img[..., component] if img.ndim == 3 else img
+    quad = gather_pixels(_corner_pack(c), y0, x0)  # (..., 4)
+    c00, c10, c01, c11 = (
+        quad[..., 0], quad[..., 1], quad[..., 2], quad[..., 3]
     )
+    # WGSL gather order: (umin,vmax), (umax,vmax), (umax,vmin), (umin,vmin)
+    return jnp.stack([c01, c11, c10, c00], axis=-1)
 
 
 def shift2d(img, dy: int, dx: int):

@@ -10,7 +10,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from hikari_tpu.render.filters import bilinear_sample, nearest_sample, texture_gather
+from hikari_tpu.render.filters import (
+    bilinear_sample,
+    edge_shift,
+    nearest_sample,
+    texture_gather,
+)
 from hikari_tpu.render.types import GBuffer
 from hikari_tpu.utils import rgb_to_ycocg, uv_grid, ycocg_to_rgb
 
@@ -28,15 +33,32 @@ def clip_towards_aabb_center(prev_c, cur_c, aabb_min, aabb_max):
 
 def nearest_velocity(gbuffer: GBuffer, uv, inv_size):
     """Velocity dilation via 4-tap max-depth (taa.wgsl:54-73). ``inv_size``
-    is the texel size of the *render* texture the pass runs at."""
+    is the texel size of the *render* texture the pass runs at.
+
+    When the pass runs at the G-buffer's own resolution (the default
+    SMAA-TU4x pipeline) the ``uv`` grid is the identity mapping, so the
+    four diagonal depth taps are static ±1-texel shifts (edge_shift,
+    zero gathers) and the center read is the array itself; only the
+    final dilated velocity fetch stays a dynamic gather."""
     tx, ty = inv_size
+    gh, gw = gbuffer.position.shape[:2]
+    same_res = uv.shape[:2] == (gh, gw)
     offs = [(tx, ty), (-tx, ty), (tx, -ty), (-tx, -ty)]
-    depths = [
-        nearest_sample(gbuffer.position, uv + jnp.asarray(o))[..., 3] for o in offs
-    ]
+    if same_res:
+        pos_depth = gbuffer.position[..., 3]
+        depths = [
+            edge_shift(pos_depth, int(round(oy * gh)), int(round(ox * gw)))
+            for ox, oy in offs
+        ]
+        depth = pos_depth
+    else:
+        depths = [
+            nearest_sample(gbuffer.position, uv + jnp.asarray(o))[..., 3]
+            for o in offs
+        ]
+        depth = nearest_sample(gbuffer.position, uv)[..., 3]
     depths = jnp.stack(depths, axis=-1)  # (..., 4)
     max_depth = jnp.max(depths, axis=-1)
-    depth = nearest_sample(gbuffer.position, uv)[..., 3]
     is_max = depths == max_depth[..., None]
     xsign = jnp.asarray([1.0, -1.0, 1.0, -1.0])
     ysign = jnp.asarray([1.0, 1.0, -1.0, -1.0])
@@ -102,7 +124,11 @@ def taa_jasmine(
         (-1.5, -1.5),
     ]
 
-    cur_pd = nearest_sample(gbuffer.position, uv)
+    same_res = gbuffer.position.shape[:2] == (h, w)
+    # identity-uv nearest sample == the array itself (no gather)
+    cur_pd = gbuffer.position if same_res else nearest_sample(
+        gbuffer.position, uv
+    )
     cur_depth = cur_pd[..., 3]
     has_content = cur_depth > 0.0
     depth_miss = cur_depth == 0.0
@@ -130,21 +156,23 @@ def taa_jasmine(
     previous_color = catmull_rom_5tap(previous_render, sample_position, (h, w))
 
     # Disocclusion -> 3x3 YCoCg variance clipping (taa.wgsl:146-164).
-    def s_ycocg(duv):
-        c = nearest_sample(render, uv + duv)[..., :3]
-        return rgb_to_ycocg(jnp.clip(c, 0.0, 1.0))
+    # The taps are static ±1-texel offsets of the pass's own render
+    # texture — pure edge_shifts, zero gathers.
+    rgb = jnp.clip(render[..., :3], 0.0, 1.0)
 
-    tx, ty = texel[0], texel[1]
+    def s_ycocg(dx, dy):
+        return rgb_to_ycocg(edge_shift(rgb, dy, dx))
+
     taps = [
-        s_ycocg(jnp.asarray([-tx, ty])),
-        s_ycocg(jnp.asarray([0.0, ty])),
-        s_ycocg(jnp.asarray([tx, ty])),
-        s_ycocg(jnp.asarray([-tx, 0.0])),
+        s_ycocg(-1, 1),
+        s_ycocg(0, 1),
+        s_ycocg(1, 1),
+        s_ycocg(-1, 0),
         rgb_to_ycocg(jnp.clip(current_color, 0.0, 1.0)),
-        s_ycocg(jnp.asarray([tx, 0.0])),
-        s_ycocg(jnp.asarray([-tx, -ty])),
-        s_ycocg(jnp.asarray([0.0, -ty])),
-        s_ycocg(jnp.asarray([tx, -ty])),
+        s_ycocg(1, 0),
+        s_ycocg(-1, -1),
+        s_ycocg(0, -1),
+        s_ycocg(1, -1),
     ]
     m1 = sum(taps)
     m2 = sum(t * t for t in taps)

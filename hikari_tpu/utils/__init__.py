@@ -174,37 +174,33 @@ HALTON_JITTER = halton23_sequence(16)
 
 
 def gather_channels(table, idx):
-    """Gather rows of ``table`` (N,) or (N, C) at ``idx`` (...,) via
-    per-channel scalar-plane gathers. A direct ``table[idx]`` makes XLA
-    materialize an (R, C) gather result whose minor dim tile-pads to 128
-    lanes on TPU (32-40x memory blowup at 1080p); gathering each channel
-    as a flat (N,) plane keeps the lane dimension on pixels. The channel
-    slice happens BEFORE flattening so no minor-C table materializes."""
+    """Gather rows of ``table`` (N,) or (N, C) at ``idx`` (...,).
+
+    Multi-channel rows are fetched in ONE row gather: measured on v5e
+    (tools/bench_gather.py), a TPU gather costs ~7.5 ns per OUTPUT ROW
+    almost regardless of row width (2M scalar rows 15.7 ms; 2M 4-wide
+    rows 12 ms; 16-wide 49 ms), so C per-channel plane gathers cost ~C
+    times one packed row gather. The round-1 channel-plane loop (kept
+    for ndim==1) predates this measurement; the (R, C) result's lane
+    padding is transient and far cheaper than C full gathers."""
     idx = jnp.asarray(idx)
     if table.ndim == 1:
         return table[idx]
-    return jnp.stack(
-        [table[..., c].reshape(-1)[idx.reshape(-1)].reshape(idx.shape)
-         for c in range(table.shape[-1])],
-        axis=-1,
-    )
+    rows = table.reshape(-1, table.shape[-1])[idx.reshape(-1)]
+    return rows.reshape(idx.shape + (table.shape[-1],))
 
 
 def gather_pixels(img, y, x):
     """Gather image texels: img (H, W) or (H, W, C) at integer grids
-    y/x (...,) -> (...,) or (..., C), channel-major (see gather_channels)."""
+    y/x (...,) -> (...,) or (..., C). One row gather for all channels
+    (see gather_channels for the measured cost model)."""
     h, w = img.shape[0], img.shape[1]
     flat_idx = (y * w + x).reshape(-1)
     out_shape = jnp.shape(y)
     if img.ndim == 2:
         return img.reshape(h * w)[flat_idx].reshape(out_shape)
-    return jnp.stack(
-        [
-            img[..., c].reshape(h * w)[flat_idx].reshape(out_shape)
-            for c in range(img.shape[-1])
-        ],
-        axis=-1,
-    )
+    rows = img.reshape(h * w, img.shape[-1])[flat_idx]
+    return rows.reshape(out_shape + (img.shape[-1],))
 
 
 def rgb_to_ycocg(rgb):
