@@ -130,9 +130,25 @@ def retrieve_surface(scene, material_index, uv=None) -> Surface:
     base/emissive/metallic-roughness/occlusion. Parity therefore means
     keeping the slot (scene.mat_normal_map_texture) unsampled."""
     safe = jnp.maximum(material_index, 0)
-    base_color = gather_channels(scene.mat_base_color, safe)
-    emissive = gather_channels(scene.mat_emissive, safe)
-    metallic = scene.mat_metallic[safe]
+    # All five factor tables share the index: pack to one rows-of-11
+    # gather (gathers cost per output row, nearly width-independent —
+    # tools/bench_gather.py).
+    packed = jnp.concatenate(
+        [
+            scene.mat_base_color,
+            scene.mat_emissive,
+            scene.mat_metallic[:, None],
+            scene.mat_reflectance[:, None],
+            scene.mat_perceptual_roughness[:, None],
+        ],
+        axis=-1,
+    )
+    rows = gather_channels(packed, safe)  # (..., 11)
+    base_color = rows[..., 0:4]
+    emissive = rows[..., 4:8]
+    metallic = rows[..., 8]
+    reflectance = rows[..., 9]
+    perceptual_roughness = rows[..., 10]
     occlusion = jnp.ones_like(metallic)
 
     if getattr(scene, "num_textures", 0) > 0 and uv is not None:
@@ -158,11 +174,9 @@ def retrieve_surface(scene, material_index, uv=None) -> Surface:
     return Surface(
         base_color=base_color,
         emissive=emissive,
-        reflectance=scene.mat_reflectance[safe],
+        reflectance=reflectance,
         metallic=metallic,
-        roughness=perceptual_roughness_to_roughness(
-            scene.mat_perceptual_roughness[safe]
-        ),
+        roughness=perceptual_roughness_to_roughness(perceptual_roughness),
         occlusion=occlusion,
     )
 

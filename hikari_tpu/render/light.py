@@ -159,7 +159,24 @@ def fetch_gbuffer(gb: GBuffer, y, x):
 
 
 def gather_reservoir(r: Reservoir, y, x) -> Reservoir:
-    return jax.tree_util.tree_map(lambda a: gather_pixels(a, y, x), r)
+    """Reproject a reservoir grid: all ~20 field channels share the index,
+    so pack them into one row gather (gathers cost per output row, nearly
+    width-independent — tools/bench_gather.py) instead of one gather per
+    pytree leaf."""
+    leaves, treedef = jax.tree_util.tree_flatten(r)
+    if any(leaf.dtype != jnp.float32 for leaf in leaves):
+        return jax.tree_util.tree_map(lambda a: gather_pixels(a, y, x), r)
+    expanded = [
+        leaf[..., None] if leaf.ndim == y.ndim else leaf for leaf in leaves
+    ]
+    widths = [e.shape[-1] for e in expanded]
+    rows = gather_pixels(jnp.concatenate(expanded, axis=-1), y, x)
+    out, off = [], 0
+    for leaf, wdt in zip(leaves, widths):
+        part = rows[..., off : off + wdt]
+        off += wdt
+        out.append(part[..., 0] if leaf.ndim == y.ndim else part)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def load_previous_reservoir(grid: Reservoir, prev_uv, render_size) -> Reservoir:

@@ -88,7 +88,9 @@ def catmull_rom_5tap(img, sample_position, size_hw):
     tp12 = (texel_pos_1 + offset12) * texel
 
     def s(uv):
-        return jnp.clip(bilinear_sample(img, uv)[..., :3], 0.0, 1.0)
+        # img is pre-sliced to rgb by the caller: a 3-channel corner pack
+        # is a 12-wide row gather vs 16-wide for rgba (25% fewer bytes).
+        return jnp.clip(bilinear_sample(img, uv), 0.0, 1.0)
 
     out = jnp.zeros(sample_position.shape[:-1] + (3,))
     out += s(jnp.stack([tp12[..., 0], tp0[..., 1]], -1)) * (w12[..., 0] * w0[..., 1])[..., None]
@@ -153,7 +155,9 @@ def taa_jasmine(
 
     size = jnp.asarray([w, h], dtype=jnp.float32)
     sample_position = (uv - velocity) * size
-    previous_color = catmull_rom_5tap(previous_render, sample_position, (h, w))
+    previous_color = catmull_rom_5tap(
+        previous_render[..., :3], sample_position, (h, w)
+    )
 
     # Disocclusion -> 3x3 YCoCg variance clipping (taa.wgsl:146-164).
     # The taps are static ±1-texel offsets of the pass's own render
