@@ -71,10 +71,20 @@ def nearest_velocity(gbuffer: GBuffer, uv, inv_size):
 
 
 def catmull_rom_5tap(img, sample_position, size_hw):
-    """5-tap Catmull-Rom history resample (taa.wgsl:127-144; TheRealMJP)."""
+    """5-tap Catmull-Rom history resample (taa.wgsl:127-144; TheRealMJP).
+
+    Every texel the five bilinear taps touch lies inside the 4x4 window
+    whose corner is one texel above-left of the sample, so the whole
+    resample is ONE row gather of the 16-texel corner-packed history
+    (rows of 16C) instead of five separate bilinear fetches — ~2x on the
+    measured row-gather cost model (tools/bench_gather.py). The taps are
+    then recomputed from the window with the published weights. Border
+    semantics: the window base clamps into the image and the packed
+    shifts clamp to edge, which matches per-tap clamping except for
+    samples reprojected >1 texel outside the image — those pixels are
+    boundary-disoccluded and variance-clipped anyway."""
     h, w = size_hw
-    size = jnp.asarray([w, h], dtype=jnp.float32)
-    texel = 1.0 / size
+    C = img.shape[-1]
     texel_pos_1 = jnp.floor(sample_position - 0.5) + 0.5
     f = sample_position - texel_pos_1
     w0 = f * (-0.5 + f * (1.0 - 0.5 * f))
@@ -83,21 +93,48 @@ def catmull_rom_5tap(img, sample_position, size_hw):
     w3 = f * f * (-0.5 + 0.5 * f)
     w12 = w1 + w2
     offset12 = w2 / jnp.maximum(w1 + w2, 1e-8)
-    tp0 = (texel_pos_1 - 1.0) * texel
-    tp3 = (texel_pos_1 + 2.0) * texel
-    tp12 = (texel_pos_1 + offset12) * texel
 
-    def s(uv):
-        # img is pre-sliced to rgb by the caller: a 3-channel corner pack
-        # is a 12-wide row gather vs 16-wide for rgba (25% fewer bytes).
-        return jnp.clip(bilinear_sample(img, uv), 0.0, 1.0)
+    kx = jnp.clip(jnp.floor(texel_pos_1[..., 0]).astype(jnp.int32), 0, w - 1)
+    ky = jnp.clip(jnp.floor(texel_pos_1[..., 1]).astype(jnp.int32), 0, h - 1)
+    from hikari_tpu.utils import gather_pixels
 
-    out = jnp.zeros(sample_position.shape[:-1] + (3,))
-    out += s(jnp.stack([tp12[..., 0], tp0[..., 1]], -1)) * (w12[..., 0] * w0[..., 1])[..., None]
-    out += s(jnp.stack([tp0[..., 0], tp12[..., 1]], -1)) * (w0[..., 0] * w12[..., 1])[..., None]
-    out += s(tp12) * (w12[..., 0] * w12[..., 1])[..., None]
-    out += s(jnp.stack([tp3[..., 0], tp12[..., 1]], -1)) * (w3[..., 0] * w12[..., 1])[..., None]
-    out += s(jnp.stack([tp12[..., 0], tp3[..., 1]], -1)) * (w12[..., 0] * w3[..., 1])[..., None]
+    window = jnp.concatenate(
+        [
+            edge_shift(img, i - 1, j - 1)
+            for i in range(4)
+            for j in range(4)
+        ],
+        axis=-1,
+    )  # (h, w, 16C)
+    rows = gather_pixels(window, ky, kx)  # (..., 16C)
+
+    def W(i, j):
+        k = (i * 4 + j) * C
+        return rows[..., k : k + C]
+
+    ox = offset12[..., 0][..., None]
+    oy = offset12[..., 1][..., None]
+
+    def lx(a, b):
+        return a + (b - a) * ox
+
+    def ly(a, b):
+        return a + (b - a) * oy
+
+    def cl(x):
+        return jnp.clip(x, 0.0, 1.0)
+
+    t_x12_y0 = cl(lx(W(0, 1), W(0, 2)))
+    t_x0_y12 = cl(ly(W(1, 0), W(2, 0)))
+    t_x12_y12 = cl(ly(lx(W(1, 1), W(1, 2)), lx(W(2, 1), W(2, 2))))
+    t_x3_y12 = cl(ly(W(1, 3), W(2, 3)))
+    t_x12_y3 = cl(lx(W(3, 1), W(3, 2)))
+
+    out = t_x12_y0 * (w12[..., 0] * w0[..., 1])[..., None]
+    out += t_x0_y12 * (w0[..., 0] * w12[..., 1])[..., None]
+    out += t_x12_y12 * (w12[..., 0] * w12[..., 1])[..., None]
+    out += t_x3_y12 * (w3[..., 0] * w12[..., 1])[..., None]
+    out += t_x12_y3 * (w12[..., 0] * w3[..., 1])[..., None]
     return out
 
 
