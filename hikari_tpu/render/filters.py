@@ -94,6 +94,46 @@ def texture_gather(img, uv, component: int):
     return jnp.stack([c01, c11, c10, c00], axis=-1)
 
 
+def quad_phase_sampler(img, j, pad: int = 4):
+    """Sampler for SMAA TU4x's static-affine "quad uv" taps: every tap of
+    the form nearest/gather at uv = ((2x + j + 0.5 + bx) / W, ...) lands on
+    the out-res texel (2y + j + cy, 2x + j + cx) with STATIC integer
+    (cy, cx) and only the frame-parity phase ``j`` dynamic. Returns
+    ``tap(cy, cx)`` = one dynamic_slice of an edge-padded copy + a [::2]
+    strided view — zero gathers (TPU gathers cost ~7.5 ns per output row;
+    slices are ~20x cheaper — tools/bench_gather.py).
+
+    Clamp semantics: the edge padding replicates borders, so
+    tap(cy, cx)[y, x] == img[clip(2y + j + cy, 0, H-1), clip(...W-1)] —
+    per-tap clamping from the UNCLAMPED base, which is what WGSL's
+    clamp-to-edge sampler does for each gathered texel."""
+    P = pad
+    padded = jnp.pad(
+        img, [(P, P), (P, P)] + [(0, 0)] * (img.ndim - 2), mode="edge"
+    )
+    h2, w2 = img.shape[0], img.shape[1]
+    h, w = h2 // 2, w2 // 2
+    size = (2 * (h - 1) + 1, 2 * (w - 1) + 1) + img.shape[2:]
+    import jax as _jax
+
+    def tap(cy: int, cx: int):
+        assert -P <= cy + 1 <= P and -P <= cx + 1 <= P
+        start = (P + j + cy, P + j + cx) + (0,) * (img.ndim - 2)
+        win = _jax.lax.dynamic_slice(padded, start, size)
+        return win[::2, ::2]
+
+    return tap
+
+
+def parity_shift(img, even, dy0: int, dx0: int, dy1: int, dx1: int):
+    """select(even, edge_shift(img, dy0, dx0), edge_shift(img, dy1, dx1)) —
+    a static shift whose offset depends only on frame parity."""
+    a = edge_shift(img, dy0, dx0)
+    b = edge_shift(img, dy1, dx1)
+    e = jnp.reshape(even, (1,) * img.ndim)
+    return jnp.where(e, a, b)
+
+
 def shift2d(img, dy: int, dx: int):
     """Shift so out[y, x] = img[y + dy, x + dx]; returns (shifted, valid)
     where valid marks in-bounds source texels (the reference skips

@@ -14,8 +14,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from hikari_tpu.render.filters import bilinear_sample, nearest_sample, texture_gather
-from hikari_tpu.render.taa import clip_towards_aabb_center, nearest_velocity
+from hikari_tpu.render.filters import (
+    nearest_sample,
+    parity_shift,
+    quad_phase_sampler,
+    texture_gather,
+)
+from hikari_tpu.render.taa import clip_towards_aabb_center
 from hikari_tpu.render.types import GBuffer
 from hikari_tpu.utils import TAU, fract, luminance, rgb_to_ycocg, uv_grid, ycocg_to_rgb
 
@@ -28,6 +33,38 @@ def _quad_uv(ys, xs, jitter, out_size):
         [(x.astype(jnp.float32) + 0.5) / ow, (y.astype(jnp.float32) + 0.5) / oh],
         axis=-1,
     )
+
+
+def _nearest_velocity_quad(pos_tap, vel_tap):
+    """taa.nearest_velocity evaluated at the static-affine quad uv
+    (taa.wgsl:54-73): the 4 diagonal depth taps and the dilated velocity
+    fetch all land on out-res texels (2y + j + c) — strided taps, zero
+    gathers. The dilation offset per axis is a small integer (the sum of
+    tied max-depth tap signs, in [-2, 2]), so the final velocity fetch is
+    a 25-way select over strided taps."""
+    # offs order matches taa.nearest_velocity: (ox, oy) signs
+    offs = [(1, 1), (-1, 1), (1, -1), (-1, -1)]
+    depths = jnp.stack(
+        [pos_tap(oy, ox)[..., 3] for ox, oy in offs], axis=-1
+    )
+    depth = pos_tap(0, 0)[..., 3]
+    max_depth = jnp.max(depths, axis=-1)
+    is_max = depths == max_depth[..., None]
+    xsign = jnp.asarray([1.0, -1.0, 1.0, -1.0])
+    ysign = jnp.asarray([1.0, 1.0, -1.0, -1.0])
+    sx = jnp.sum(jnp.where(is_max, xsign, 0.0), axis=-1).astype(jnp.int32)
+    sy = jnp.sum(jnp.where(is_max, ysign, 0.0), axis=-1).astype(jnp.int32)
+    take = depth < max_depth
+    sx = jnp.where(take, sx, 0)
+    sy = jnp.where(take, sy, 0)
+    vel = vel_tap(0, 0)[..., :2]
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            if dy == 0 and dx == 0:
+                continue
+            m = (sy == dy) & (sx == dx)
+            vel = jnp.where(m[..., None], vel_tap(dy, dx)[..., :2], vel)
+    return vel
 
 
 def smaa_tu4x(
@@ -50,16 +87,24 @@ def smaa_tu4x(
     current_color = render[..., :3]
 
     prev_out_uv = _quad_uv(ys, xs, prev_j, (oh, ow))
-    velocity = nearest_velocity(gbuffer, prev_out_uv, (1.0 / ow, 1.0 / oh))
+    # Static-affine taps: every fetch at prev_out_uv + const lands on the
+    # out-res texel (2y + j + c) — strided slices via quad_phase_sampler,
+    # zero gathers (the gather rework; only velocity-dependent reprojection
+    # fetches below remain true gathers).
+    pos_tap = quad_phase_sampler(gbuffer.position, prev_j)
+    vel_tap = quad_phase_sampler(gbuffer.velocity_uv, prev_j)
+    inst_tap = quad_phase_sampler(
+        gbuffer.instance[..., None].astype(jnp.float32), prev_j
+    )
+    velocity = _nearest_velocity_quad(pos_tap, vel_tap)
     prev_reproj_uv = prev_out_uv - velocity
     previous_color = nearest_sample(prev_upscaled, prev_reproj_uv)[..., :3]
 
     boundary_miss = jnp.any(jnp.abs(prev_reproj_uv - 0.5) > 0.5, axis=-1)
 
-    inst_img = gbuffer.instance[..., None].astype(jnp.float32)
     prev_inst_img = prev_gbuffer.instance[..., None].astype(jnp.float32)
-    cur_instance = nearest_sample(inst_img, prev_out_uv)[..., 0]
-    cur_depth = nearest_sample(gbuffer.position, prev_out_uv)[..., 3]
+    cur_instance = inst_tap(0, 0)[..., 0]
+    cur_depth = pos_tap(0, 0)[..., 3]
 
     depth_miss = cur_depth == 0.0
     instance_miss = jnp.zeros((h, w), dtype=bool)
@@ -83,24 +128,45 @@ def smaa_tu4x(
     velocity_miss = jnp.linalg.norm(velocity - prev_velocity, axis=-1) > 0.0001
 
     # Disocclusion -> nearest-depth-biased 2x2 YCoCg clip (smaa.wgsl:159-189).
+    # Both the depth-distance taps (gbuffer at prev_out_uv + bias) and the
+    # render-texture gather at the winning bias are static-affine: the
+    # gather corners are strided taps whose offset depends only on frame
+    # parity — zero gathers, a 5-way select over precomputed corner quads.
+    # floor shift of the out-res gather base per bias magnitude:
+    _BSHIFT = {0.0: 0, 2.5: 2, -2.5: -3}
+    # floor shift of the render-res gather base per (j, bias):
+    _RSHIFT1 = {0.0: 0, 2.5: 1, -2.5: -1}  # even frames (j = 1)
+    _RSHIFT0 = {0.0: -1, 2.5: 1, -2.5: -2}  # odd frames (j = 0)
+    rgb = render[..., :3]
     min_ds = jnp.full((h, w), 10.0)
-    uv_bias = jnp.zeros((h, w, 2))
+    quad_rgb = None  # (h, w, 4, 3) corner colors at the winning bias
     for bx, by in biases:
-        b = jnp.asarray([bx, by]) * out_texel
-        ds = texture_gather(gbuffer.position, prev_out_uv + b, 3)
+        cy, cx = _BSHIFT[by], _BSHIFT[bx]
+        ds = jnp.stack(
+            [pos_tap(cy + dy, cx + dx)[..., 3] for dy in (0, 1) for dx in (0, 1)],
+            axis=-1,
+        )
         dds = jnp.linalg.norm(cur_depth[..., None] - ds, axis=-1)
         take = dds < min_ds
-        uv_bias = jnp.where(take[..., None], b, uv_bias)
+        q = jnp.stack(
+            [
+                parity_shift(
+                    rgb,
+                    even,
+                    _RSHIFT1[by] + dy, _RSHIFT1[bx] + dx,
+                    _RSHIFT0[by] + dy, _RSHIFT0[bx] + dx,
+                )
+                for dy in (0, 1)
+                for dx in (0, 1)
+            ],
+            axis=-2,
+        )  # (h, w, 4, 3)
+        quad_rgb = q if quad_rgb is None else jnp.where(
+            take[..., None, None], q, quad_rgb
+        )
         min_ds = jnp.minimum(min_ds, dds)
 
-    g_uv = prev_out_uv + uv_bias
-    cr = texture_gather(render, g_uv, 0)
-    cg = texture_gather(render, g_uv, 1)
-    cb = texture_gather(render, g_uv, 2)
-    taps = [
-        rgb_to_ycocg(jnp.stack([cr[..., i], cg[..., i], cb[..., i]], axis=-1))
-        for i in range(4)
-    ]
+    taps = [rgb_to_ycocg(quad_rgb[..., i, :]) for i in range(4)]
     s_mm = rgb_to_ycocg(jnp.clip(current_color, 0.0, 1.0))
     m1 = sum(taps)
     m2 = sum(t * t for t in taps)
@@ -119,7 +185,18 @@ def smaa_tu4x(
     blend = jnp.clip(
         -jnp.cos(jnp.max(subpix, axis=-1) * TAU), 0.0, 1.0
     )
-    remix = bilinear_sample(render, prev_out_uv)[..., :3]
+    # Bilinear at prev_out_uv on the render texture: parity-static corners
+    # (even j=1: base 0, fx 0.25; odd j=0: base -1, fx 0.75), per-tap
+    # edge clamp — zero gathers.
+    c00 = parity_shift(rgb, even, 0, 0, -1, -1)
+    c10 = parity_shift(rgb, even, 0, 1, -1, 0)
+    c01 = parity_shift(rgb, even, 1, 0, 0, -1)
+    c11 = parity_shift(rgb, even, 1, 1, 0, 0)
+    fxy = jnp.where(even, 0.25, 0.75)
+    remix = (
+        (c00 * (1 - fxy) + c10 * fxy) * (1 - fxy)
+        + (c01 * (1 - fxy) + c11 * fxy) * fxy
+    )
     previous_color = previous_color + (remix - previous_color) * blend[..., None]
 
     cur_rgba = jnp.concatenate([current_color, jnp.ones((h, w, 1))], axis=-1)

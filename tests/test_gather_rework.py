@@ -1,0 +1,193 @@
+"""Equivalence tests for the gather->strided-slice reworks: the rewritten
+passes must match a naive gather-based formulation (the WGSL-literal tap
+semantics of smaa.wgsl / taa.wgsl) on image interiors. Border columns may
+differ by one texel: the rework clamps each tap from the UNCLAMPED base
+(what WGSL's clamp-to-edge sampler does), while the naive jnp path clamps
+the gather base first."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hikari_tpu.render.filters import (
+    bilinear_sample,
+    nearest_sample,
+    texture_gather,
+)
+from hikari_tpu.render.taa import clip_towards_aabb_center, nearest_velocity
+from hikari_tpu.render.types import GBuffer
+from hikari_tpu.utils import TAU, fract, luminance, rgb_to_ycocg, uv_grid, ycocg_to_rgb
+
+
+def _rand_gbuffer(rng, h, w, inst_count=4):
+    pos = rng.uniform(0.5, 3.0, size=(h, w, 4)).astype(np.float32)
+    return GBuffer(
+        position=jnp.asarray(pos),
+        normal=jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32)),
+        depth_gradient=jnp.asarray(rng.normal(size=(h, w, 2)).astype(np.float32)),
+        instance=jnp.asarray(rng.integers(0, inst_count, size=(h, w)).astype(np.int32)),
+        material=jnp.asarray(rng.integers(0, 4, size=(h, w)).astype(np.int32)),
+        velocity_uv=jnp.asarray(
+            (rng.uniform(-0.02, 0.02, size=(h, w, 4))).astype(np.float32)
+        ),
+    )
+
+
+def _quad_uv(ys, xs, jitter, out_size):
+    oh, ow = out_size
+    x = 2 * xs + jitter
+    y = 2 * ys + jitter
+    return jnp.stack(
+        [(x.astype(jnp.float32) + 0.5) / ow, (y.astype(jnp.float32) + 0.5) / oh],
+        axis=-1,
+    )
+
+
+def _smaa_naive(render, prev_upscaled, gbuffer, prev_gbuffer, frame_number):
+    """The pre-rework smaa_tu4x: literal per-tap gathers."""
+    h, w = render.shape[0], render.shape[1]
+    oh, ow = 2 * h, 2 * w
+    out_texel = jnp.asarray([1.0 / ow, 1.0 / oh])
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+
+    even = (frame_number & 1) == 0
+    prev_j = jnp.where(even, 1, 0)
+
+    current_color = render[..., :3]
+    prev_out_uv = _quad_uv(ys, xs, prev_j, (oh, ow))
+    velocity = nearest_velocity(gbuffer, prev_out_uv, (1.0 / ow, 1.0 / oh))
+    prev_reproj_uv = prev_out_uv - velocity
+    previous_color = nearest_sample(prev_upscaled, prev_reproj_uv)[..., :3]
+    boundary_miss = jnp.any(jnp.abs(prev_reproj_uv - 0.5) > 0.5, axis=-1)
+
+    inst_img = gbuffer.instance[..., None].astype(jnp.float32)
+    prev_inst_img = prev_gbuffer.instance[..., None].astype(jnp.float32)
+    cur_instance = nearest_sample(inst_img, prev_out_uv)[..., 0]
+    cur_depth = nearest_sample(gbuffer.position, prev_out_uv)[..., 3]
+
+    depth_miss = cur_depth == 0.0
+    instance_miss = jnp.zeros((h, w), dtype=bool)
+    biases = [(0.0, 0.0), (2.5, 2.5), (-2.5, 2.5), (2.5, -2.5), (-2.5, -2.5)]
+    for bx, by in biases:
+        b_uv = prev_reproj_uv + jnp.asarray([bx, by]) * out_texel
+        prev_depths = texture_gather(prev_gbuffer.position, b_uv, 3)
+        ratio = jnp.where(
+            prev_depths == 0.0,
+            1.0,
+            cur_depth[..., None] / jnp.where(prev_depths == 0.0, 1.0, prev_depths),
+        )
+        miss_here = jnp.any(ratio < 0.95, axis=-1)
+        depth_miss = depth_miss | miss_here
+        prev_instance = nearest_sample(prev_inst_img, b_uv)[..., 0]
+        instance_miss = instance_miss | (
+            miss_here & (jnp.abs(prev_instance - cur_instance) > 1.0)
+        )
+
+    prev_velocity = nearest_sample(prev_gbuffer.velocity_uv, prev_reproj_uv)[..., :2]
+    velocity_miss = jnp.linalg.norm(velocity - prev_velocity, axis=-1) > 0.0001
+
+    min_ds = jnp.full((h, w), 10.0)
+    uv_bias = jnp.zeros((h, w, 2))
+    for bx, by in biases:
+        b = jnp.asarray([bx, by]) * out_texel
+        ds = texture_gather(gbuffer.position, prev_out_uv + b, 3)
+        dds = jnp.linalg.norm(cur_depth[..., None] - ds, axis=-1)
+        take = dds < min_ds
+        uv_bias = jnp.where(take[..., None], b, uv_bias)
+        min_ds = jnp.minimum(min_ds, dds)
+
+    g_uv = prev_out_uv + uv_bias
+    cr = texture_gather(render, g_uv, 0)
+    cg = texture_gather(render, g_uv, 1)
+    cb = texture_gather(render, g_uv, 2)
+    taps = [
+        rgb_to_ycocg(jnp.stack([cr[..., i], cg[..., i], cb[..., i]], axis=-1))
+        for i in range(4)
+    ]
+    s_mm = rgb_to_ycocg(jnp.clip(current_color, 0.0, 1.0))
+    m1 = sum(taps)
+    m2 = sum(t * t for t in taps)
+    mean = m1 / 4.0
+    variance = jnp.sqrt(jnp.maximum(m2 / 4.0 - mean * mean, 0.0))
+    clipped = ycocg_to_rgb(
+        clip_towards_aabb_center(
+            rgb_to_ycocg(previous_color), s_mm, mean - variance, mean + variance
+        )
+    )
+    do_clip = boundary_miss | ((depth_miss | instance_miss) & velocity_miss)
+    previous_color = jnp.where(do_clip[..., None], clipped, previous_color)
+
+    subpix = fract(velocity / (2.0 * out_texel))
+    blend = jnp.clip(-jnp.cos(jnp.max(subpix, axis=-1) * TAU), 0.0, 1.0)
+    remix = bilinear_sample(render, prev_out_uv)[..., :3]
+    previous_color = previous_color + (remix - previous_color) * blend[..., None]
+
+    cur_rgba = jnp.concatenate([current_color, jnp.ones((h, w, 1))], axis=-1)
+    prev_rgba = jnp.concatenate([previous_color, jnp.ones((h, w, 1))], axis=-1)
+    q00 = jnp.where(even, cur_rgba, prev_rgba)
+    q11 = jnp.where(even, prev_rgba, cur_rgba)
+    return q00, q11
+
+
+@pytest.mark.parametrize("frame", [0, 1])
+def test_smaa_quad_matches_naive_interior(rng, frame):
+    """Power-of-two dims: the naive path's uv->pixel roundtrip is exact
+    (dyadic rationals), so away from image borders the rework must agree
+    bitwise. At non-dyadic sizes the naive path lands fp-noisily on exact
+    texel boundaries (e.g. the by=-2.5 gather offsets are exact integers)
+    and floor() falls either way — the rework computes the exact answer."""
+    from hikari_tpu.render.smaa import smaa_tu4x
+
+    h, w = 32, 64
+    render = jnp.asarray(rng.uniform(size=(h, w, 4)).astype(np.float32))
+    prev_up = jnp.asarray(rng.uniform(size=(2 * h, 2 * w, 4)).astype(np.float32))
+    gb = _rand_gbuffer(rng, 2 * h, 2 * w)
+    pgb = _rand_gbuffer(rng, 2 * h, 2 * w)
+    fn = jnp.int32(frame)
+
+    out = smaa_tu4x(render, prev_up, gb, pgb, fn)
+    q00_new = out[0::2, 0::2]
+    q11_new = out[1::2, 1::2]
+    q00_ref, q11_ref = _smaa_naive(render, prev_up, gb, pgb, fn)
+
+    # interior only: border taps clamp differently (see module docstring)
+    sl = np.s_[5:-5, 5:-5]
+    np.testing.assert_allclose(
+        np.asarray(q00_new)[sl], np.asarray(q00_ref)[sl], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(q11_new)[sl], np.asarray(q11_ref)[sl], atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("frame", [0, 1])
+def test_smaa_static_scene_full_equivalence(rng, frame):
+    """With zero velocity everywhere the reprojection is the identity and
+    even border pixels must agree (interior base indices never clamp
+    differently when the sample position is exactly on the texel grid)."""
+    from hikari_tpu.render.smaa import smaa_tu4x
+
+    h, w = 32, 16
+    render = jnp.asarray(rng.uniform(size=(h, w, 4)).astype(np.float32))
+    prev_up = jnp.asarray(rng.uniform(size=(2 * h, 2 * w, 4)).astype(np.float32))
+    gb = _rand_gbuffer(rng, 2 * h, 2 * w)
+    gb = GBuffer(
+        position=gb.position,
+        normal=gb.normal,
+        depth_gradient=gb.depth_gradient,
+        instance=gb.instance,
+        material=gb.material,
+        velocity_uv=jnp.zeros((2 * h, 2 * w, 4)),
+    )
+    pgb = gb
+    fn = jnp.int32(frame)
+    out = smaa_tu4x(render, prev_up, gb, pgb, fn)
+    q00_ref, q11_ref = _smaa_naive(render, prev_up, gb, pgb, fn)
+    sl = np.s_[1:-1, 1:-1]
+    np.testing.assert_allclose(
+        np.asarray(out[0::2, 0::2])[sl], np.asarray(q00_ref)[sl], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[1::2, 1::2])[sl], np.asarray(q11_ref)[sl], atol=1e-5
+    )
