@@ -94,6 +94,43 @@ def texture_gather(img, uv, component: int):
     return jnp.stack([c01, c11, c10, c00], axis=-1)
 
 
+def pack_window_gather(specs, ky, kx):
+    """ONE row gather serving many taps around a shared base index.
+
+    ``specs``: list of (img (H, W, C), dys, dxs). For every image, the
+    edge-clamped static shifts over its (dys x dxs) window are packed as
+    row channels; the packed plane is gathered once at (ky, kx); the
+    returned accessor ``at(slot, dy, dx) -> (..., C)`` slices a tap out of
+    the gathered rows.
+
+    Rationale: a TPU gather costs ~7.5-17 ns per OUTPUT ROW and is only
+    mildly width-dependent (2M rows: 16ch ~12 ms, 96ch ~27 ms, 224ch
+    ~35 ms — tools/bench_gather.py), so 12 separate reprojection taps
+    cost ~12x more than one wide gather of all their texels.
+
+    Clamp semantics: per-tap clamp-to-edge from the UNCLAMPED base
+    (edge_shift padding), provided the caller clamps (ky, kx) into the
+    image — exact WGSL sampler behavior for any in-image base."""
+    parts, index, off = [], {}, 0
+    for si, (img, dys, dxs) in enumerate(specs):
+        if img.ndim == 2:
+            img = img[..., None]
+        C = img.shape[-1]
+        for dy in dys:
+            for dx in dxs:
+                parts.append(edge_shift(img, dy, dx))
+                index[(si, dy, dx)] = (off, C)
+                off += C
+    packed = jnp.concatenate(parts, axis=-1)
+    rows = gather_pixels(packed, ky, kx)
+
+    def at(si, dy, dx):
+        o, C = index[(si, dy, dx)]
+        return rows[..., o : o + C]
+
+    return at
+
+
 def quad_phase_sampler(img, j, pad: int = 4):
     """Sampler for SMAA TU4x's static-affine "quad uv" taps: every tap of
     the form nearest/gather at uv = ((2x + j + 0.5 + bx) / W, ...) lands on

@@ -11,10 +11,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from hikari_tpu.render.filters import (
-    bilinear_sample,
     edge_shift,
     nearest_sample,
-    texture_gather,
+    pack_window_gather,
 )
 from hikari_tpu.render.types import GBuffer
 from hikari_tpu.utils import rgb_to_ycocg, uv_grid, ycocg_to_rgb
@@ -62,6 +61,24 @@ def nearest_velocity(gbuffer: GBuffer, uv, inv_size):
     is_max = depths == max_depth[..., None]
     xsign = jnp.asarray([1.0, -1.0, 1.0, -1.0])
     ysign = jnp.asarray([1.0, 1.0, -1.0, -1.0])
+    if same_res:
+        # The dilated fetch offset is a small integer per axis (the sum of
+        # tied max-depth tap signs, in [-2, 2]) from the identity uv — a
+        # 25-way select over static edge shifts, zero gathers.
+        sx = jnp.sum(jnp.where(is_max, xsign, 0.0), axis=-1).astype(jnp.int32)
+        sy = jnp.sum(jnp.where(is_max, ysign, 0.0), axis=-1).astype(jnp.int32)
+        take = depth < max_depth
+        sx = jnp.where(take, sx, 0)
+        sy = jnp.where(take, sy, 0)
+        vel = gbuffer.velocity_uv[..., :2]
+        out = vel
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                if dy == 0 and dx == 0:
+                    continue
+                m = (sy == dy) & (sx == dx)
+                out = jnp.where(m[..., None], edge_shift(vel, dy, dx), out)
+        return out
     ox = tx * jnp.sum(jnp.where(is_max, xsign, 0.0), axis=-1)
     oy = ty * jnp.sum(jnp.where(is_max, ysign, 0.0), axis=-1)
     offset = jnp.where(
@@ -87,13 +104,6 @@ def catmull_rom_5tap(img, sample_position, size_hw):
     C = img.shape[-1]
     texel_pos_1 = jnp.floor(sample_position - 0.5) + 0.5
     f = sample_position - texel_pos_1
-    w0 = f * (-0.5 + f * (1.0 - 0.5 * f))
-    w1 = 1.0 + f * f * (-2.5 + 1.5 * f)
-    w2 = f * (0.5 + f * (2.0 - 1.5 * f))
-    w3 = f * f * (-0.5 + 0.5 * f)
-    w12 = w1 + w2
-    offset12 = w2 / jnp.maximum(w1 + w2, 1e-8)
-
     kx = jnp.clip(jnp.floor(texel_pos_1[..., 0]).astype(jnp.int32), 0, w - 1)
     ky = jnp.clip(jnp.floor(texel_pos_1[..., 1]).astype(jnp.int32), 0, h - 1)
     from hikari_tpu.utils import gather_pixels
@@ -111,6 +121,20 @@ def catmull_rom_5tap(img, sample_position, size_hw):
     def W(i, j):
         k = (i * 4 + j) * C
         return rows[..., k : k + C]
+
+    return _catmull_apply(W, f)
+
+
+def _catmull_apply(W, f):
+    """Catmull-Rom 5-tap weights applied to a 4x4 window accessor
+    ``W(i, j) -> (..., C)`` (window row i, col j; the sample sits between
+    (1,1) and (2,2)) with ``f`` the in-texel fraction."""
+    w0 = f * (-0.5 + f * (1.0 - 0.5 * f))
+    w1 = 1.0 + f * f * (-2.5 + 1.5 * f)
+    w2 = f * (0.5 + f * (2.0 - 1.5 * f))
+    w3 = f * f * (-0.5 + 0.5 * f)
+    w12 = w1 + w2
+    offset12 = w2 / jnp.maximum(w1 + w2, 1e-8)
 
     ox = offset12[..., 0][..., None]
     oy = offset12[..., 1][..., None]
@@ -173,27 +197,88 @@ def taa_jasmine(
     depth_miss = cur_depth == 0.0
     position_miss = cur_depth == 0.0
 
+    # ---- ONE window gather for every reprojected fetch ----
+    # All previous-frame taps (bias-loop depth gathers and position
+    # nearests, the velocity nearest, and the Catmull-Rom history window)
+    # share the base index k = floor(sample_position - 0.5): the ±1.5-texel
+    # bias taps land at k + static offset + a half-texel bit, all inside a
+    # 6x6 (history: 4x4) window. Pack the windows as row channels and
+    # gather ONCE (pack_window_gather) — 12 narrow gathers -> 1 wide one.
+    size = jnp.asarray([w, h], dtype=jnp.float32)
+    sample_position = previous_uv * size
+    tp = jnp.floor(sample_position - 0.5)
+    fr = sample_position - 0.5 - tp  # in-texel fraction, == catmull's f
+    kx = jnp.clip(tp[..., 0].astype(jnp.int32), 0, w - 1)
+    ky = jnp.clip(tp[..., 1].astype(jnp.int32), 0, h - 1)
+    bit_x = fr[..., 0] >= 0.5
+    bit_y = fr[..., 1] >= 0.5
+
+    POS, VEL, HIST = 0, 1, 2
+    at = pack_window_gather(
+        [
+            (prev_gbuffer.position, range(-2, 4), range(-2, 4)),
+            (prev_gbuffer.velocity_uv[..., :2], (0, 1), (0, 1)),
+            (previous_render[..., :3], range(-1, 3), range(-1, 3)),
+        ],
+        ky,
+        kx,
+    )
+
+    def dyn_at(slot, oy_opts, ox_opts, sl):
+        """Window tap with per-axis offsets that are either static ints or
+        (lo, hi) pairs selected by that axis's half-texel bit."""
+
+        def pick(opts, bit, get):
+            if isinstance(opts, int):
+                return get(opts)
+            return jnp.where(bit[..., None], get(opts[1]), get(opts[0]))
+
+        def row(oy):
+            return pick(ox_opts, bit_x, lambda ox: at(slot, oy, ox)[..., sl])
+
+        return pick(oy_opts, bit_y, row)
+
+    def gather_base(o):
+        """texture_gather corner base offset for uv bias o (texels):
+        floor(frac + o) over frac in [0,1) — static for o=0, a half-texel
+        bit select for o=±1.5."""
+        if o == 0.0:
+            return 0
+        return (1, 2) if o > 0 else (-2, -1)
+
+    def nearest_off(o):
+        """nearest-sample offset for uv bias o: floor(sp + o) - k."""
+        if o == 0.0:
+            return (0, 1)
+        return 2 if o > 0 else -1
+
     for bx, by in biases:
-        b_uv = previous_uv + jnp.asarray([bx, by]) * texel
-        prev_depths = texture_gather(prev_gbuffer.position, b_uv, 3)
+        gy, gx = gather_base(by), gather_base(bx)
+
+        def corner(dy, dx):
+            oy = gy + dy if isinstance(gy, int) else (gy[0] + dy, gy[1] + dy)
+            ox = gx + dx if isinstance(gx, int) else (gx[0] + dx, gx[1] + dx)
+            return dyn_at(POS, oy, ox, slice(3, 4))[..., 0]
+
+        prev_depths = jnp.stack(
+            [corner(dy, dx) for dy in (0, 1) for dx in (0, 1)], axis=-1
+        )
         ratio = jnp.where(
             prev_depths == 0.0, 1.0, cur_depth[..., None] / jnp.where(prev_depths == 0.0, 1.0, prev_depths)
         )
         has_content = has_content | jnp.any(prev_depths > 0.0, axis=-1)
         depth_miss = depth_miss | jnp.any(ratio < 0.95, axis=-1)
-        prev_pos = nearest_sample(prev_gbuffer.position, b_uv)[..., :3]
+        prev_pos = dyn_at(POS, nearest_off(by), nearest_off(bx), slice(0, 3))
         dist = jnp.linalg.norm(cur_pd[..., :3] - prev_pos, axis=-1)
         position_miss = position_miss | (dist > 0.5)
 
-    prev_velocity = nearest_sample(prev_gbuffer.velocity_uv, previous_uv)[..., :2]
+    prev_velocity = dyn_at(VEL, (0, 1), (0, 1), slice(0, 2))
     velocity_miss = (
         jnp.linalg.norm(velocity - prev_velocity, axis=-1) > 0.00005
     )
 
-    size = jnp.asarray([w, h], dtype=jnp.float32)
-    sample_position = (uv - velocity) * size
-    previous_color = catmull_rom_5tap(
-        previous_render[..., :3], sample_position, (h, w)
+    previous_color = _catmull_apply(
+        lambda i, j: at(HIST, i - 1, j - 1), fr
     )
 
     # Disocclusion -> 3x3 YCoCg variance clipping (taa.wgsl:146-164).

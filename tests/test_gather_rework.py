@@ -130,6 +130,122 @@ def _smaa_naive(render, prev_upscaled, gbuffer, prev_gbuffer, frame_number):
     return q00, q11
 
 
+def _taa_naive(render, previous_render, gbuffer, prev_gbuffer, clear_color,
+               upscale_ratio):
+    """The pre-rework taa_jasmine: literal per-tap gathers."""
+    from hikari_tpu.render.taa import catmull_rom_5tap
+
+    h, w = render.shape[0], render.shape[1]
+    texel = jnp.asarray([1.0 / w, 1.0 / h])
+    uv = uv_grid((h, w))
+
+    current_color = render[..., :3]
+    # old same-res nearest_velocity: static depth taps + one gather
+    pos_depth = gbuffer.position[..., 3]
+
+    def edge_shift_(img, dy, dx):
+        from hikari_tpu.render.filters import edge_shift
+
+        return edge_shift(img, dy, dx)
+
+    offs = [(1, 1), (-1, 1), (1, -1), (-1, -1)]
+    depths = jnp.stack(
+        [edge_shift_(pos_depth, oy, ox) for ox, oy in offs], axis=-1
+    )
+    depth = pos_depth
+    max_depth = jnp.max(depths, axis=-1)
+    is_max = depths == max_depth[..., None]
+    xsign = jnp.asarray([1.0, -1.0, 1.0, -1.0])
+    ysign = jnp.asarray([1.0, 1.0, -1.0, -1.0])
+    ox = (1.0 / w) * jnp.sum(jnp.where(is_max, xsign, 0.0), axis=-1)
+    oy = (1.0 / h) * jnp.sum(jnp.where(is_max, ysign, 0.0), axis=-1)
+    offset = jnp.where(
+        (depth < max_depth)[..., None], jnp.stack([ox, oy], axis=-1), 0.0
+    )
+    velocity = nearest_sample(gbuffer.velocity_uv, uv + offset)[..., :2]
+
+    previous_uv = uv - velocity
+    boundary_miss = jnp.any(jnp.abs(previous_uv - 0.5) > 0.5, axis=-1)
+    biases = [(0.0, 0.0), (1.5, 1.5), (-1.5, 1.5), (1.5, -1.5), (-1.5, -1.5)]
+    cur_pd = gbuffer.position
+    cur_depth = cur_pd[..., 3]
+    has_content = cur_depth > 0.0
+    depth_miss = cur_depth == 0.0
+    position_miss = cur_depth == 0.0
+    for bx, by in biases:
+        b_uv = previous_uv + jnp.asarray([bx, by]) * texel
+        prev_depths = texture_gather(prev_gbuffer.position, b_uv, 3)
+        ratio = jnp.where(
+            prev_depths == 0.0,
+            1.0,
+            cur_depth[..., None] / jnp.where(prev_depths == 0.0, 1.0, prev_depths),
+        )
+        has_content = has_content | jnp.any(prev_depths > 0.0, axis=-1)
+        depth_miss = depth_miss | jnp.any(ratio < 0.95, axis=-1)
+        prev_pos = nearest_sample(prev_gbuffer.position, b_uv)[..., :3]
+        dist = jnp.linalg.norm(cur_pd[..., :3] - prev_pos, axis=-1)
+        position_miss = position_miss | (dist > 0.5)
+
+    prev_velocity = nearest_sample(prev_gbuffer.velocity_uv, previous_uv)[..., :2]
+    velocity_miss = jnp.linalg.norm(velocity - prev_velocity, axis=-1) > 0.00005
+
+    size = jnp.asarray([w, h], dtype=jnp.float32)
+    sample_position = (uv - velocity) * size
+    previous_color = catmull_rom_5tap(
+        previous_render[..., :3], sample_position, (h, w)
+    )
+
+    from hikari_tpu.render.filters import edge_shift
+
+    rgb = jnp.clip(render[..., :3], 0.0, 1.0)
+
+    def s_ycocg(dx, dy):
+        return rgb_to_ycocg(edge_shift(rgb, dy, dx))
+
+    taps = [
+        s_ycocg(-1, 1), s_ycocg(0, 1), s_ycocg(1, 1), s_ycocg(-1, 0),
+        rgb_to_ycocg(jnp.clip(current_color, 0.0, 1.0)),
+        s_ycocg(1, 0), s_ycocg(-1, -1), s_ycocg(0, -1), s_ycocg(1, -1),
+    ]
+    m1 = sum(taps)
+    m2 = sum(t * t for t in taps)
+    mean = m1 / 9.0
+    variance = jnp.sqrt(jnp.maximum(m2 / 9.0 - mean * mean, 0.0))
+    prev_y = rgb_to_ycocg(previous_color)
+    clipped = clip_towards_aabb_center(
+        prev_y, taps[4], mean - variance, mean + variance
+    )
+    do_clip = boundary_miss | (position_miss & velocity_miss & depth_miss)
+    previous_color = jnp.where(
+        do_clip[..., None], ycocg_to_rgb(clipped), previous_color
+    )
+
+    blend = 0.1 / upscale_ratio
+    output = previous_color + (current_color - previous_color) * blend
+    out = jnp.concatenate([output, render[..., 3:4]], axis=-1)
+    clear = jnp.broadcast_to(jnp.asarray(clear_color), out.shape)
+    return jnp.where(has_content[..., None], out, clear)
+
+
+def test_taa_matches_naive_interior(rng):
+    """Dyadic dims: the mega-window-gather TAA must match the per-tap
+    gather formulation away from borders (random velocity fields)."""
+    from hikari_tpu.render.taa import taa_jasmine
+
+    h, w = 64, 128
+    render = jnp.asarray(rng.uniform(size=(h, w, 4)).astype(np.float32))
+    prev = jnp.asarray(rng.uniform(size=(h, w, 4)).astype(np.float32))
+    gb = _rand_gbuffer(rng, h, w)
+    pgb = _rand_gbuffer(rng, h, w)
+    clear = (0.1, 0.2, 0.3, 1.0)
+    out_new = taa_jasmine(render, prev, gb, pgb, clear, 2.0)
+    out_old = _taa_naive(render, prev, gb, pgb, clear, 2.0)
+    sl = np.s_[5:-5, 5:-5]
+    np.testing.assert_allclose(
+        np.asarray(out_new)[sl], np.asarray(out_old)[sl], atol=1e-5
+    )
+
+
 @pytest.mark.parametrize("frame", [0, 1])
 def test_smaa_quad_matches_naive_interior(rng, frame):
     """Power-of-two dims: the naive path's uv->pixel roundtrip is exact
