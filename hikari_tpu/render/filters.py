@@ -131,6 +131,25 @@ def pack_window_gather(specs, ky, kx):
     return at
 
 
+def make_dyn_at(at, bit_y, bit_x):
+    """Wrap a pack_window_gather accessor with per-axis offsets that are
+    either static ints or (lo, hi) pairs selected by that axis's
+    half-texel bit (frac >= 0.5 of the gather coordinate)."""
+
+    def dyn(slot, oy_opts, ox_opts, sl=slice(None)):
+        def pick(opts, bit, get):
+            if isinstance(opts, int):
+                return get(opts)
+            return jnp.where(bit[..., None], get(opts[1]), get(opts[0]))
+
+        def row(oy):
+            return pick(ox_opts, bit_x, lambda ox: at(slot, oy, ox)[..., sl])
+
+        return pick(oy_opts, bit_y, row)
+
+    return dyn
+
+
 def quad_phase_sampler(img, j, pad: int = 4):
     """Sampler for SMAA TU4x's static-affine "quad uv" taps: every tap of
     the form nearest/gather at uv = ((2x + j + 0.5 + bx) / W, ...) lands on

@@ -115,6 +115,33 @@ def _emissive_walk(scene: SceneBuffers, position, exclude_instance, rand_1d):
     num_enodes = scene.num_enodes
     end = num_enodes
 
+    # Pack everything a walk step reads into one (N, 13) row table so each
+    # iteration is ONE row gather instead of 7 (entry/exit/min/max +
+    # leaf-emissive position/radius/instance — the leaf's emissive fields
+    # are folded into its node row via the P-sized -entry-1 pregather).
+    # Gathered values feed only comparisons, so tangents die here and the
+    # while_loop stays outside the autodiff graph (as before).
+    fbits = lambda i: jax.lax.bitcast_convert_type(
+        i.astype(jnp.int32), jnp.float32
+    )
+    ibits = lambda f: jax.lax.bitcast_convert_type(f, jnp.int32)
+    E = scene.em_position.shape[0]
+    node_em = jnp.clip(-scene.enode_entry - 1, 0, E - 1)
+    enode_rows = jax.lax.stop_gradient(
+        jnp.concatenate(
+            [
+                fbits(scene.enode_entry)[:, None],
+                fbits(scene.enode_exit)[:, None],
+                scene.enode_min,
+                scene.enode_max,
+                scene.em_position[node_em],
+                scene.em_radius[node_em][:, None],
+                fbits(scene.em_instance[node_em])[:, None],
+            ],
+            axis=-1,
+        )
+    )
+
     def cond(state):
         idx = state[0]
         return jnp.any(idx != end)
@@ -122,16 +149,16 @@ def _emissive_walk(scene: SceneBuffers, position, exclude_instance, rand_1d):
     def body(state):
         idx, rand, count, chosen = state
         safe_idx = jnp.clip(idx, 0, num_enodes - 1)
-        entry = scene.enode_entry[safe_idx]
-        exit_ = scene.enode_exit[safe_idx]
+        rows = enode_rows[safe_idx]  # (..., 13)
+        entry = ibits(rows[..., 0])
+        exit_ = ibits(rows[..., 1])
         is_leaf = entry < 0
         em_idx = -entry - 1
-        safe_em = jnp.clip(em_idx, 0, scene.em_position.shape[0] - 1)
 
-        em_pos = scene.em_position[safe_em]
-        em_rad = scene.em_radius[safe_em][..., None]
+        em_pos = rows[..., 8:11]
+        em_rad = rows[..., 11:12]
         leaf_inside = inside_aabb(pos, em_pos - em_rad, em_pos + em_rad)
-        em_inst = scene.em_instance[safe_em]
+        em_inst = ibits(rows[..., 12])
         accept = is_leaf & leaf_inside & (em_inst != excl)
 
         rand = jnp.where(accept, fract(rand + GOLDEN_RATIO), rand)
@@ -139,9 +166,7 @@ def _emissive_walk(scene: SceneBuffers, position, exclude_instance, rand_1d):
         take = accept & (rand < 1.0 / jnp.maximum(new_count, 1.0))
         chosen = jnp.where(take, em_idx, chosen)
 
-        node_inside = inside_aabb(
-            pos, scene.enode_min[safe_idx], scene.enode_max[safe_idx]
-        )
+        node_inside = inside_aabb(pos, rows[..., 2:5], rows[..., 5:8])
         next_idx = jnp.where(is_leaf | ~node_inside, exit_, entry)
         next_idx = jnp.where(idx != end, next_idx, end)
         return (next_idx, rand, new_count, chosen)
@@ -197,19 +222,49 @@ def select_light_candidate(
     has_em = chosen >= 0
     safe_em = jnp.maximum(chosen, 0)
 
-    # Alias-table triangle pick (light.wgsl:661-669).
-    alias_count = scene.em_alias_count[safe_em]
-    alias_off = scene.em_alias_offset[safe_em]
-    em_inst = scene.em_instance[safe_em]
+    # Alias-table triangle pick (light.wgsl:661-669). The five per-emissive
+    # tables sharing the chosen index (alias count/offset, instance,
+    # surface area, instance prim offset/count) are packed into one row
+    # gather; the (prob | index) alias entries into another.
+    fbits = lambda i: jax.lax.bitcast_convert_type(
+        i.astype(jnp.int32), jnp.float32
+    )
+    ibits = lambda f: jax.lax.bitcast_convert_type(f, jnp.int32)
+    from hikari_tpu.utils import gather_channels
+
+    em_rows_tbl = jnp.concatenate(
+        [
+            fbits(scene.em_alias_count)[:, None],
+            fbits(scene.em_alias_offset)[:, None],
+            fbits(scene.em_instance)[:, None],
+            scene.em_surface_area[:, None],
+            fbits(scene.inst_prim_offset[scene.em_instance])[:, None],
+            fbits(scene.inst_prim_count[scene.em_instance])[:, None],
+        ],
+        axis=-1,
+    )  # (E, 6); surface_area is not a DIFF_LEAF, rest are int bitcasts
+    em_rows = gather_channels(jax.lax.stop_gradient(em_rows_tbl), safe_em)
+    alias_count = ibits(em_rows[..., 0])
+    alias_off = ibits(em_rows[..., 1])
+    em_inst = ibits(em_rows[..., 2])
+    em_area = em_rows[..., 3]
+    em_prim_off = ibits(em_rows[..., 4])
+    em_prim_cnt = ibits(em_rows[..., 5])
     alias_idx = jnp.minimum(
         (rand[..., 0] * alias_count.astype(jnp.float32)).astype(jnp.int32),
         jnp.maximum(alias_count - 1, 0),
     )
     entry_idx = jnp.clip(alias_off + alias_idx, 0, scene.alias_prob.shape[0] - 1)
-    a_prob = scene.alias_prob[entry_idx]
-    a_index = scene.alias_index[entry_idx]
+    alias_rows = gather_channels(
+        jnp.stack(
+            [scene.alias_prob, fbits(scene.alias_index)], axis=-1
+        ),
+        entry_idx,
+    )
+    a_prob = alias_rows[..., 0]
+    a_index = ibits(alias_rows[..., 1])
     local_prim = jnp.where(rand[..., 1] < a_prob, a_index, alias_idx)
-    prim = scene.inst_prim_offset[em_inst] + local_prim
+    prim = em_prim_off + local_prim
     prim = jnp.clip(prim, 0, scene.tri_world.shape[0] - 1)
 
     # Barycentric point on the (world-space) triangle (component-major
@@ -229,10 +284,8 @@ def select_light_candidate(
 
     # Instance-restricted closest-hit on the emissive instance
     # (light.wgsl:672-687). Masked empty range for non-emissive pixels.
-    lo = jnp.where(has_em, scene.inst_prim_offset[em_inst], 0)
-    hi = jnp.where(
-        has_em, scene.inst_prim_offset[em_inst] + scene.inst_prim_count[em_inst], 0
-    )
+    lo = jnp.where(has_em, em_prim_off, 0)
+    hi = jnp.where(has_em, em_prim_off + em_prim_cnt, 0)
     hit = trace_rays(
         scene,
         ray_origin,
@@ -256,9 +309,7 @@ def select_light_candidate(
 
     delta = target.position[..., :3] - position
     d2 = jnp.sum(delta * delta, axis=-1)
-    denom = jnp.abs(
-        dot3(ray_dir, target.normal) * scene.em_surface_area[safe_em]
-    )
+    denom = jnp.abs(dot3(ray_dir, target.normal) * em_area)
     # stable_div: exact quotient backward without the 1/denom^2 transient
     # overflow near the 1e-12 guard (diff.stable_div), replacing the old
     # cotangent clip.

@@ -15,10 +15,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from hikari_tpu.render.filters import (
-    nearest_sample,
+    make_dyn_at,
+    pack_window_gather,
     parity_shift,
     quad_phase_sampler,
-    texture_gather,
 )
 from hikari_tpu.render.taa import clip_towards_aabb_center
 from hikari_tpu.render.types import GBuffer
@@ -98,20 +98,72 @@ def smaa_tu4x(
     )
     velocity = _nearest_velocity_quad(pos_tap, vel_tap)
     prev_reproj_uv = prev_out_uv - velocity
-    previous_color = nearest_sample(prev_upscaled, prev_reproj_uv)[..., :3]
 
     boundary_miss = jnp.any(jnp.abs(prev_reproj_uv - 0.5) > 0.5, axis=-1)
 
-    prev_inst_img = prev_gbuffer.instance[..., None].astype(jnp.float32)
     cur_instance = inst_tap(0, 0)[..., 0]
     cur_depth = pos_tap(0, 0)[..., 3]
+
+    # ---- ONE window gather for every reprojected fetch ----
+    # The ±2.5-texel bias taps (prev depth textureGathers + prev instance
+    # nearests), the prev-upscaled nearest, and the prev-velocity nearest
+    # all index out-res planes at prev_reproj_uv + const: pack their
+    # windows around the shared base floor(sp - 0.5) and gather once
+    # (pack_window_gather) — 12 narrow gathers -> 1 wide one.
+    sp = prev_reproj_uv * jnp.asarray([ow, oh], dtype=jnp.float32)
+    tp = jnp.floor(sp - 0.5)
+    fr = sp - 0.5 - tp
+    kx = jnp.clip(tp[..., 0].astype(jnp.int32), 0, ow - 1)
+    ky = jnp.clip(tp[..., 1].astype(jnp.int32), 0, oh - 1)
+    bit_x = fr[..., 0] >= 0.5
+    bit_y = fr[..., 1] >= 0.5
+
+    DPTH, INST, PREV, PVEL = 0, 1, 2, 3
+    at = pack_window_gather(
+        [
+            (prev_gbuffer.position[..., 3], range(-3, 5), range(-3, 5)),
+            (
+                prev_gbuffer.instance.astype(jnp.float32),
+                (-2, 0, 1, 3),
+                (-2, 0, 1, 3),
+            ),
+            (prev_upscaled[..., :3], (0, 1), (0, 1)),
+            (prev_gbuffer.velocity_uv[..., :2], (0, 1), (0, 1)),
+        ],
+        ky,
+        kx,
+    )
+    dyn_at = make_dyn_at(at, bit_y, bit_x)
+
+    previous_color = dyn_at(PREV, (0, 1), (0, 1))
+
+    def gather_base(o):
+        """textureGather corner base offset for uv bias o: floor(frac + o)
+        — static for o=0, a half-texel bit select for o=±2.5."""
+        if o == 0.0:
+            return 0
+        return (2, 3) if o > 0 else (-3, -2)
+
+    def nearest_off(o):
+        """nearest-sample offset for uv bias o: floor(sp + o) - k."""
+        if o == 0.0:
+            return (0, 1)
+        return 3 if o > 0 else -2
 
     depth_miss = cur_depth == 0.0
     instance_miss = jnp.zeros((h, w), dtype=bool)
     biases = [(0.0, 0.0), (2.5, 2.5), (-2.5, 2.5), (2.5, -2.5), (-2.5, -2.5)]
     for bx, by in biases:
-        b_uv = prev_reproj_uv + jnp.asarray([bx, by]) * out_texel
-        prev_depths = texture_gather(prev_gbuffer.position, b_uv, 3)
+        gy, gx = gather_base(by), gather_base(bx)
+
+        def corner(dy, dx):
+            oy = gy + dy if isinstance(gy, int) else (gy[0] + dy, gy[1] + dy)
+            ox = gx + dx if isinstance(gx, int) else (gx[0] + dx, gx[1] + dx)
+            return dyn_at(DPTH, oy, ox)[..., 0]
+
+        prev_depths = jnp.stack(
+            [corner(dy, dx) for dy in (0, 1) for dx in (0, 1)], axis=-1
+        )
         ratio = jnp.where(
             prev_depths == 0.0,
             1.0,
@@ -119,12 +171,12 @@ def smaa_tu4x(
         )
         miss_here = jnp.any(ratio < 0.95, axis=-1)
         depth_miss = depth_miss | miss_here
-        prev_instance = nearest_sample(prev_inst_img, b_uv)[..., 0]
+        prev_instance = dyn_at(INST, nearest_off(by), nearest_off(bx))[..., 0]
         instance_miss = instance_miss | (
             miss_here & (jnp.abs(prev_instance - cur_instance) > 1.0)
         )
 
-    prev_velocity = nearest_sample(prev_gbuffer.velocity_uv, prev_reproj_uv)[..., :2]
+    prev_velocity = dyn_at(PVEL, (0, 1), (0, 1))
     velocity_miss = jnp.linalg.norm(velocity - prev_velocity, axis=-1) > 0.0001
 
     # Disocclusion -> nearest-depth-biased 2x2 YCoCg clip (smaa.wgsl:159-189).

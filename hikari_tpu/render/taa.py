@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from hikari_tpu.render.filters import (
     edge_shift,
+    make_dyn_at,
     nearest_sample,
     pack_window_gather,
 )
@@ -224,19 +225,7 @@ def taa_jasmine(
         kx,
     )
 
-    def dyn_at(slot, oy_opts, ox_opts, sl):
-        """Window tap with per-axis offsets that are either static ints or
-        (lo, hi) pairs selected by that axis's half-texel bit."""
-
-        def pick(opts, bit, get):
-            if isinstance(opts, int):
-                return get(opts)
-            return jnp.where(bit[..., None], get(opts[1]), get(opts[0]))
-
-        def row(oy):
-            return pick(ox_opts, bit_x, lambda ox: at(slot, oy, ox)[..., sl])
-
-        return pick(oy_opts, bit_y, row)
+    dyn_at = make_dyn_at(at, bit_y, bit_x)
 
     def gather_base(o):
         """texture_gather corner base offset for uv bias o (texels):

@@ -734,10 +734,14 @@ def refine_hit(scene: SceneBuffers, origin, direction, hit: Hit):
     fixed-topology gradient path. Returns (t, u, v) equal in value to the
     traced result but connected to ``scene.tri_world`` in the autodiff
     graph. Misses keep their sentinel values (detached)."""
-    from hikari_tpu.diff import clip_gradient
-
     safe_prim = jnp.maximum(hit.prim, 0)
     v0, v1, v2 = gather_triangle_vertices(scene.tri_world, safe_prim)
+    return _refine_from_vertices(origin, direction, hit, v0, v1, v2)
+
+
+def _refine_from_vertices(origin, direction, hit: Hit, v0, v1, v2):
+    from hikari_tpu.diff import clip_gradient
+
     # Firewall on both sides of the refine math: miss-pixel refinement
     # evaluates a clamped triangle at DISTANCE_MAX-scale origins whose
     # float32 partials can overflow; bound + scrub cotangents so
@@ -770,25 +774,39 @@ class HitInfo:
     material: jax.Array  # (...,) i32, -1 = miss
 
 
+def _hit_rows(scene: SceneBuffers):
+    """Per-triangle packed rows (P, 25) so hit_info is ONE row gather by
+    prim: [tri_world v0 v1 v2 (9, differentiable) | per-vertex attrs
+    n0 n1 n2 uv0 uv1 uv2 (15) | material id (1, int bitcast)]. Built
+    in-graph (P-sized ops, CSE'd across hit_info calls in a frame); the
+    old formulation paid 6 full-resolution gathers per hit_info."""
+    P = scene.tri_world.shape[0]
+    tw = scene.tri_world.reshape(P, 9)
+    attr = jnp.concatenate([scene.vert_normal, scene.vert_uv], axis=-1)
+    tri_attr = attr[scene.tri_vidx]  # (P, 3, 5)
+    n = tri_attr[..., :3].reshape(P, 9)
+    uv = tri_attr[..., 3:].reshape(P, 6)
+    tri_mat = scene.inst_material[scene.tri_inst].astype(jnp.int32)
+    matf = jax.lax.stop_gradient(
+        jax.lax.bitcast_convert_type(tri_mat, jnp.float32)
+    )
+    return jnp.concatenate([tw, n, uv, matf[:, None]], axis=-1)
+
+
 def hit_info(scene: SceneBuffers, origin, direction, hit: Hit) -> HitInfo:
     """Reference ``hit_info`` (light.wgsl:496-523): barycentric-interpolated
     uv + world normal from vertex attributes, world position from the
-    (differentiably refined) distance."""
-    t, u, v = refine_hit(scene, origin, direction, hit)
+    (differentiably refined) distance. One packed row gather serves the
+    refine vertices, the vertex attributes, and the material id."""
     safe_prim = jnp.maximum(hit.prim, 0)
     from hikari_tpu.utils import gather_channels
 
-    vidx = gather_channels(scene.tri_vidx, safe_prim)  # (..., 3)
-    # One packed rows-of-5 gather per vertex (normal | uv) — measured 2x
-    # cheaper than 6 separate attribute gathers (tools/bench_gather.py
-    # cost model: gathers cost per output row, nearly width-independent).
-    attr = jnp.concatenate([scene.vert_normal, scene.vert_uv], axis=-1)
-    a0 = gather_channels(attr, vidx[..., 0])
-    a1 = gather_channels(attr, vidx[..., 1])
-    a2 = gather_channels(attr, vidx[..., 2])
-    n0, uv0 = a0[..., :3], a0[..., 3:]
-    n1, uv1 = a1[..., :3], a1[..., 3:]
-    n2, uv2 = a2[..., :3], a2[..., 3:]
+    rows = gather_channels(_hit_rows(scene), safe_prim)  # (..., 25)
+    v0, v1, v2 = rows[..., 0:3], rows[..., 3:6], rows[..., 6:9]
+    t, u, v = _refine_from_vertices(origin, direction, hit, v0, v1, v2)
+    n0, n1, n2 = rows[..., 9:12], rows[..., 12:15], rows[..., 15:18]
+    uv0, uv1, uv2 = rows[..., 18:20], rows[..., 20:22], rows[..., 22:24]
+    tri_material = jax.lax.bitcast_convert_type(rows[..., 24], jnp.int32)
     uu = u[..., None]
     vv = v[..., None]
     normal = n0 + uu * (n1 - n0) + vv * (n2 - n0)
@@ -810,9 +828,7 @@ def hit_info(scene: SceneBuffers, origin, direction, hit: Hit) -> HitInfo:
     position = jnp.concatenate([position, w[..., None]], axis=-1)
 
     instance = hit.inst
-    material = jnp.where(
-        miss, -1, scene.inst_material[jnp.maximum(hit.inst, 0)]
-    ).astype(jnp.int32)
+    material = jnp.where(miss, -1, tri_material).astype(jnp.int32)
     normal = jnp.where(miss[..., None], 0.0, normal)
     uv = jnp.where(miss[..., None], 0.0, uv)
     return HitInfo(
