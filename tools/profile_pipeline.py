@@ -293,14 +293,14 @@ def passes_mode(args):
     cur = jnp.zeros((rh, rw, 4))
     timed(
         "smaa_tu4x",
-        lambda c, p: smaa_tu4x(c, p, gb, gb, fno),
-        cur, state.prev_upscaled,
+        lambda c, p, g: smaa_tu4x(c, p, g, g, fno),
+        cur, state.prev_upscaled, gb,
     )
     oh, ow = s.output_size
     timed(
         "taa",
-        lambda c, p: taa_jasmine(c, p, gb, gb, s.clear_color, s.upscale_ratio),
-        jnp.zeros((oh, ow, 4)), state.prev_taa,
+        lambda c, p, g: taa_jasmine(c, p, g, g, s.clear_color, s.upscale_ratio),
+        jnp.zeros((oh, ow, 4)), state.prev_taa, gb,
     )
 
 
