@@ -20,6 +20,7 @@ the honest definition.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -41,13 +42,13 @@ def rays_per_frame(settings, scene_buffers) -> float:
     return primary + per_px * rh * rw
 
 
-def main():
+def enable_compile_cache():
+    """Persistent compilation cache: first compile of the 1080p train step
+    through the remote-TPU tunnel takes ~10 min; cached runs start fast."""
     import os
 
     import jax
 
-    # Persistent compilation cache: first compile of the 1080p train step
-    # through the remote-TPU tunnel takes ~10 min; cached runs start fast.
     cache = os.path.expanduser("~/.cache/hikari_tpu_jax_cache")
     os.makedirs(cache, exist_ok=True)
     try:
@@ -56,36 +57,31 @@ def main():
     except Exception:
         pass
 
+
+def build_bench_case(config: str, frames: int):
+    """The EXACT workload bench.py times, shared with tools/tpu_gate.py so
+    the memory gate compiles (and caches) the same executable the driver
+    bench then runs: a jitted lax.scan of ``frames`` fwd+grad train steps,
+    grads coupled into the carried scalar so nothing is DCE'd.
+
+    Returns (run_frames, (buffers, camera, state, target), settings)."""
+    import jax
     import jax.numpy as jnp
 
-    import argparse
-
-    from hikari_tpu.config import Upscale
+    from hikari_tpu.config import Taa, Upscale
     from hikari_tpu.io.scenes import CONFIGS
-    from hikari_tpu.parallel import make_train_step
+    from hikari_tpu.parallel.sharding import DIFF_LEAVES, render_loss
     from hikari_tpu.render import initial_state
     from hikari_tpu.scene import build_scene_buffers
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument(
-        "--config", default="cornell", choices=sorted(CONFIGS),
-        help="pipeline scene; the driver-run default (cornell @1080p) is "
-        "the BASELINE north-star metric, the others add full-pipeline "
-        "fwd+grad numbers on real geometry (scene=FlightHelmet 95k tris, "
-        "city=procedural city) at 512p",
-    )
-    args = ap.parse_args()
-
-    if args.config == "cornell":
+    if config == "cornell":
         width, height = 1920, 1080
     else:
         width, height = 512, 512
-    scene, camera, settings = CONFIGS[args.config]()
+    scene, camera, settings = CONFIGS[config]()
     # The reference's default pipeline renders output at half internal
     # resolution (SMAA TU4x ratio 2.0, src/lib.rs:491-499) — benchmark
     # the same configuration for every scene.
-    from hikari_tpu.config import Taa
-
     settings = settings.replace(
         width=width,
         height=height,
@@ -97,22 +93,6 @@ def main():
     buffers = build_scene_buffers(scene)
     state = initial_state(settings)
     target = jnp.zeros(settings.output_size + (3,))
-
-    device = jax.devices()[0]
-    print(f"# device={device.platform} ({device.device_kind})", file=sys.stderr)
-
-    # HONEST timing (see tools/verify_bench.py and CLAUDE.md): through the
-    # remote-TPU tunnel, block_until_ready NEVER reliably waits — a loop of
-    # per-frame "blocked" train steps runs thousands of times faster than
-    # the device can compute, and the queued work only drains on a VALUE
-    # FETCH. The only bulletproof measurement is ONE jitted executable that
-    # runs `frames` steps internally (lax.scan over the train step, grads
-    # coupled into the carried scalar so nothing is DCE'd) followed by a
-    # float() fetch. Round-1/2 loop-timed numbers (17.8 / 8.15 Grays/s)
-    # were fiction from this; the real 1080p fwd+grad step is seconds.
-    from hikari_tpu.parallel.sharding import DIFF_LEAVES, render_loss
-
-    frames = 2  # per timed executable; sized to stay under tunnel limits
 
     def split(sc):
         return {k: getattr(sc, k) for k in DIFF_LEAVES}
@@ -142,6 +122,45 @@ def main():
             frame, (st0, jnp.float32(0.0)), None, length=frames
         )
         return acc, st_f
+
+    return run_frames, (buffers, camera, state, target), settings
+
+
+def main():
+    import jax
+
+    enable_compile_cache()
+
+    import argparse
+
+    from hikari_tpu.io.scenes import CONFIGS
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--config", default="cornell", choices=sorted(CONFIGS),
+        help="pipeline scene; the driver-run default (cornell @1080p) is "
+        "the BASELINE north-star metric, the others add full-pipeline "
+        "fwd+grad numbers on real geometry (scene=FlightHelmet 95k tris, "
+        "city=procedural city) at 512p",
+    )
+    args = ap.parse_args()
+
+    device = jax.devices()[0]
+    print(f"# device={device.platform} ({device.device_kind})", file=sys.stderr)
+
+    # HONEST timing (see tools/verify_bench.py and CLAUDE.md): through the
+    # remote-TPU tunnel, block_until_ready NEVER reliably waits — a loop of
+    # per-frame "blocked" train steps runs thousands of times faster than
+    # the device can compute, and the queued work only drains on a VALUE
+    # FETCH. The only bulletproof measurement is ONE jitted executable that
+    # runs `frames` steps internally (lax.scan over the train step, grads
+    # coupled into the carried scalar so nothing is DCE'd) followed by a
+    # float() fetch. Round-1/2 loop-timed numbers (17.8 / 8.15 Grays/s)
+    # were fiction from this; the real 1080p fwd+grad step is seconds.
+    frames = 8  # ReSTIR approaches steady state (temporal reuse warmed)
+    run_frames, (buffers, camera, state, target), settings = build_bench_case(
+        args.config, frames
+    )
 
     # Warmup / compile.
     acc, _ = run_frames(buffers, camera, state, target)

@@ -38,17 +38,66 @@ def edge_shift(img, dy: int, dx: int):
     return padded[dy + ay : dy + ay + h, dx + ax : dx + ax + w]
 
 
+def _padded_planes(img, dys, dxs):
+    """ONE 2D edge pad per channel plane, sized for the (dys x dxs) tap
+    window; every tap is then a pure static slice of a padded plane.
+
+    Keeping each pad rank-2 is load-bearing on TPU: a materialized
+    (H, W, 1) pad output bitcasts to a (1, H*W) buffer whose size-1 minor
+    dim lane-pads 1 -> 128 (~1 GB per 1080p plane — the round-2 driver
+    bench OOM, BENCH_r02.json / VERDICT.md item 1). 2D (H, W) planes tile
+    (8, 128) on (rows, cols) with negligible padding.
+
+    Returns (planes, (pad_top, pad_left), (h, w))."""
+    h, w = img.shape[0], img.shape[1]
+    dys, dxs = list(dys), list(dxs)
+    pt, pb = max(-min(dys), 0), max(max(dys), 0)
+    pl, pr = max(-min(dxs), 0), max(max(dxs), 0)
+    chans = [img] if img.ndim == 2 else [img[..., c] for c in range(img.shape[-1])]
+    planes = [jnp.pad(c, ((pt, pb), (pl, pr)), mode="edge") for c in chans]
+    return planes, (pt, pl), (h, w)
+
+
+def pack_rows(parts):
+    """Pack K same-shape 2D planes into a (H*W, K) row table whose rows a
+    single gather can fetch.
+
+    Layout discipline (the round-2/3 OOM lesson, BENCH_r02.json +
+    tools/tpu_gate.py): any stack/concat whose operands carry a SIZE-1
+    dim invites XLA to materialize operand copies with the unit dim in
+    the LANE position — measured on both ``stack(parts, -1)`` (operands
+    (H*W, 1)) and ``stack(parts, 0)`` (operands bitcast (1, H*W),
+    layout {0,1}) — each copy lane-padding 1 -> 128 to ~1 GB at 1080p
+    (90-128 GB of pure padding across the step). So: concatenate the
+    FLATTENED 1D planes (operands f32[H*W], no unit dim to abuse), then
+    bitcast-reshape to (K, H*W) and pay ONE explicit transpose. With K at
+    the 128-lane boundary both the transpose output and the gather rows
+    pad zero."""
+    K = len(parts)
+    flat = jnp.concatenate([p.reshape(-1) for p in parts])  # (K*H*W,)
+    return flat.reshape(K, -1).T  # (H*W, K)
+
+
+def gather_packed_rows(packed_rows, w, ky, kx):
+    """Fetch rows of a pack_rows table at integer pixel grids (ky, kx)
+    of the source (h, w) image -> (..., K)."""
+    flat = (ky * w + kx).reshape(-1)
+    rows = packed_rows[flat]
+    return rows.reshape(jnp.shape(ky) + (packed_rows.shape[-1],))
+
+
 def _corner_pack(img):
-    """(H, W, C) -> (H, W, 4C): channels of the 2x2 quad at (y, x) —
+    """Channels of the 2x2 quad at (y, x) as a (H*W, 4C) row table —
     [c00 | c10(x+1) | c01(y+1) | c11(y+1,x+1)], clamp-to-edge. One row
-    gather of the packed image fetches all four bilinear corners."""
-    if img.ndim == 2:
-        img = img[..., None]
-    return jnp.concatenate(
-        [img, edge_shift(img, 0, 1), edge_shift(img, 1, 0),
-         edge_shift(img, 1, 1)],
-        axis=-1,
-    )
+    gather fetches all four bilinear corners. Built from 2D per-channel
+    pads + slices (see _padded_planes / pack_rows)."""
+    planes, (pt, pl), (h, w) = _padded_planes(img, (0, 1), (0, 1))
+    parts = [
+        p[pt + dy : pt + dy + h, pl + dx : pl + dx + w]
+        for (dy, dx) in ((0, 0), (0, 1), (1, 0), (1, 1))
+        for p in planes
+    ]
+    return pack_rows(parts), w
 
 
 def bilinear_sample(img, uv):
@@ -65,7 +114,8 @@ def bilinear_sample(img, uv):
     # At the high edge the packed c10/c01/c11 clamp to the same texel,
     # matching clip(x0i + 1, 0, w - 1).
     C = img.shape[-1] if img.ndim == 3 else 1
-    quad = gather_pixels(_corner_pack(img), y0i, x0i)  # (..., 4C)
+    packed, pw = _corner_pack(img)
+    quad = gather_packed_rows(packed, pw, y0i, x0i)  # (..., 4C)
     c00, c10, c01, c11 = (
         quad[..., 0:C], quad[..., C:2 * C],
         quad[..., 2 * C:3 * C], quad[..., 3 * C:4 * C],
@@ -86,7 +136,8 @@ def texture_gather(img, uv, component: int):
     x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
     c = img[..., component] if img.ndim == 3 else img
-    quad = gather_pixels(_corner_pack(c), y0, x0)  # (..., 4)
+    packed, pw = _corner_pack(c)
+    quad = gather_packed_rows(packed, pw, y0, x0)  # (..., 4)
     c00, c10, c01, c11 = (
         quad[..., 0], quad[..., 1], quad[..., 2], quad[..., 3]
     )
@@ -94,39 +145,68 @@ def texture_gather(img, uv, component: int):
     return jnp.stack([c01, c11, c10, c00], axis=-1)
 
 
+def cross(dys, dxs):
+    """The full dys x dxs tap window as explicit (dy, dx) pairs."""
+    return [(dy, dx) for dy in dys for dx in dxs]
+
+
 def pack_window_gather(specs, ky, kx):
     """ONE row gather serving many taps around a shared base index.
 
-    ``specs``: list of (img (H, W, C), dys, dxs). For every image, the
-    edge-clamped static shifts over its (dys x dxs) window are packed as
-    row channels; the packed plane is gathered once at (ky, kx); the
-    returned accessor ``at(slot, dy, dx) -> (..., C)`` slices a tap out of
-    the gathered rows.
+    ``specs``: list of (img, taps) or (img, taps, chs): ``taps`` is a
+    list of (dy, dx) pairs (see ``cross``; explicit pairs let callers
+    trim unused window corners so the packed channel count stays at/below
+    the 128-lane boundary), ``chs`` optionally selects source channels.
+    For every image, the edge-clamped static shifts over its window are
+    packed as row channels; the packed plane is gathered once at
+    (ky, kx); the returned accessor ``at(slot, dy, dx)`` gives the tap
+    back as a LIST of 2D channel planes.
 
     Rationale: a TPU gather costs ~7.5-17 ns per OUTPUT ROW and is only
     mildly width-dependent (2M rows: 16ch ~12 ms, 96ch ~27 ms, 224ch
     ~35 ms — tools/bench_gather.py), so 12 separate reprojection taps
     cost ~12x more than one wide gather of all their texels.
 
+    Layout: every intermediate is a 2D plane (ONE pad per channel, taps
+    are pure slices packed via pack_rows — major-axis stack + one
+    transpose; accessor results are plane slices of the wide rows). Any
+    lane-axis stack/pad materialization ((H, W, 1) or unit-channel concat
+    operands) lane-pads 128x on TPU and OOMed the round-2/3 driver bench
+    at 90-128 GB HBM (BENCH_r02.json, tools/tpu_gate.py) — see pack_rows.
+
     Clamp semantics: per-tap clamp-to-edge from the UNCLAMPED base
-    (edge_shift padding), provided the caller clamps (ky, kx) into the
+    (shared edge padding), provided the caller clamps (ky, kx) into the
     image — exact WGSL sampler behavior for any in-image base."""
     parts, index, off = [], {}, 0
-    for si, (img, dys, dxs) in enumerate(specs):
+    src_w = None
+    for si, spec in enumerate(specs):
+        img, taps = spec[0], list(spec[1])
+        chs = spec[2] if len(spec) > 2 else None
+        h, w = img.shape[0], img.shape[1]
+        if src_w is None:
+            src_w = (h, w)
+        assert (h, w) == src_w, "pack_window_gather: mixed source sizes"
         if img.ndim == 2:
-            img = img[..., None]
-        C = img.shape[-1]
-        for dy in dys:
-            for dx in dxs:
-                parts.append(edge_shift(img, dy, dx))
-                index[(si, dy, dx)] = (off, C)
-                off += C
-    packed = jnp.concatenate(parts, axis=-1)
-    rows = gather_pixels(packed, ky, kx)
+            chans = [img]
+        else:
+            chs = range(img.shape[-1]) if chs is None else chs
+            chans = [img[..., c] for c in chs]
+        dys = [t[0] for t in taps]
+        dxs = [t[1] for t in taps]
+        pt, pb = max(-min(dys), 0), max(max(dys), 0)
+        pl, pr = max(-min(dxs), 0), max(max(dxs), 0)
+        planes = [jnp.pad(c, ((pt, pb), (pl, pr)), mode="edge") for c in chans]
+        C = len(planes)
+        for dy, dx in taps:
+            for p in planes:
+                parts.append(p[pt + dy : pt + dy + h, pl + dx : pl + dx + w])
+            index[(si, dy, dx)] = (off, C)
+            off += C
+    rows = gather_packed_rows(pack_rows(parts), src_w[1], ky, kx)
 
     def at(si, dy, dx):
         o, C = index[(si, dy, dx)]
-        return rows[..., o : o + C]
+        return [rows[..., o + c] for c in range(C)]
 
     return at
 
@@ -134,16 +214,18 @@ def pack_window_gather(specs, ky, kx):
 def make_dyn_at(at, bit_y, bit_x):
     """Wrap a pack_window_gather accessor with per-axis offsets that are
     either static ints or (lo, hi) pairs selected by that axis's
-    half-texel bit (frac >= 0.5 of the gather coordinate)."""
+    half-texel bit (frac >= 0.5 of the gather coordinate, a 2D plane).
+    Returns taps as lists of 2D channel planes, like ``at``."""
 
-    def dyn(slot, oy_opts, ox_opts, sl=slice(None)):
+    def dyn(slot, oy_opts, ox_opts):
         def pick(opts, bit, get):
             if isinstance(opts, int):
                 return get(opts)
-            return jnp.where(bit[..., None], get(opts[1]), get(opts[0]))
+            lo, hi = get(opts[0]), get(opts[1])
+            return [jnp.where(bit, b, a) for a, b in zip(lo, hi)]
 
         def row(oy):
-            return pick(ox_opts, bit_x, lambda ox: at(slot, oy, ox)[..., sl])
+            return pick(ox_opts, bit_x, lambda ox: at(slot, oy, ox))
 
         return pick(oy_opts, bit_y, row)
 
@@ -162,21 +244,34 @@ def quad_phase_sampler(img, j, pad: int = 4):
     Clamp semantics: the edge padding replicates borders, so
     tap(cy, cx)[y, x] == img[clip(2y + j + cy, 0, H-1), clip(...W-1)] —
     per-tap clamping from the UNCLAMPED base, which is what WGSL's
-    clamp-to-edge sampler does for each gathered texel."""
+    clamp-to-edge sampler does for each gathered texel.
+
+    Layout: pads and slices are per-channel 2D planes (rank-3 pad
+    outputs with a small minor channel dim lane-pad up to 128x on TPU —
+    see _padded_planes). ``tap(cy, cx, ch)`` returns the single 2D
+    channel plane; ``tap(cy, cx)`` stacks all channels (2D images return
+    2D)."""
     P = pad
-    padded = jnp.pad(
-        img, [(P, P), (P, P)] + [(0, 0)] * (img.ndim - 2), mode="edge"
-    )
+    two_d = img.ndim == 2
+    chans = [img] if two_d else [img[..., c] for c in range(img.shape[-1])]
+    padded = [jnp.pad(c, ((P, P), (P, P)), mode="edge") for c in chans]
     h2, w2 = img.shape[0], img.shape[1]
     h, w = h2 // 2, w2 // 2
-    size = (2 * (h - 1) + 1, 2 * (w - 1) + 1) + img.shape[2:]
+    size = (2 * (h - 1) + 1, 2 * (w - 1) + 1)
     import jax as _jax
 
-    def tap(cy: int, cx: int):
+    def tap(cy: int, cx: int, ch: int | None = None):
         assert -P <= cy + 1 <= P and -P <= cx + 1 <= P
-        start = (P + j + cy, P + j + cx) + (0,) * (img.ndim - 2)
-        win = _jax.lax.dynamic_slice(padded, start, size)
-        return win[::2, ::2]
+
+        def one(c2):
+            win = _jax.lax.dynamic_slice(c2, (P + j + cy, P + j + cx), size)
+            return win[::2, ::2]
+
+        if ch is not None:
+            return one(padded[ch])
+        if two_d:
+            return one(padded[0])
+        return jnp.stack([one(c2) for c2 in padded], axis=-1)
 
     return tap
 

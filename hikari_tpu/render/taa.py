@@ -4,13 +4,22 @@
 
 jnp equivalent of src/shaders/taa.wgsl (entry ``taa_jasmine``), run by
 ``PostProcessNode`` at the post-SMAA resolution (src/post_process.rs:
-1260-1277)."""
+1260-1277).
+
+TPU formulation: the pass body works on 2D per-channel planes end to end
+— colors are (r, g, b) tuples of (H, W) arrays, stacked to (H, W, C) only
+at the pass boundary. Any materialized rank-3 temp with a small minor
+channel dim lane-pads up to 128x on TPU (XLA keeps the degenerate
+{2,1,0} layout on remat copies), which OOMed the round-2 driver bench at
+90 GB HBM / 1.8% utilization (BENCH_r02.json). All reprojected fetches
+ride ONE 128-channel window gather (filters.pack_window_gather)."""
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 from hikari_tpu.render.filters import (
+    cross,
     edge_shift,
     make_dyn_at,
     nearest_sample,
@@ -31,55 +40,104 @@ def clip_towards_aabb_center(prev_c, cur_c, aabb_min, aabb_max):
     return jnp.where(ma_unit > 1.0, clipped, prev_c)
 
 
+def clip_aabb_planes(prev, aabb_min, aabb_max):
+    """clip_towards_aabb_center on per-channel 2D planes: ``prev``,
+    ``aabb_min``, ``aabb_max`` are same-length tuples of (H, W) arrays;
+    the channel max reduction becomes a running jnp.maximum."""
+    p_clips, v_clips = [], []
+    ma = None
+    for pc, mn, mx in zip(prev, aabb_min, aabb_max):
+        p_clip = 0.5 * (mx + mn)
+        e_clip = 0.5 * (mx - mn)
+        v_clip = pc - p_clip
+        v_unit = v_clip / jnp.where(e_clip == 0.0, 1e-8, e_clip)
+        a = jnp.abs(v_unit)
+        ma = a if ma is None else jnp.maximum(ma, a)
+        p_clips.append(p_clip)
+        v_clips.append(v_clip)
+    denom = jnp.maximum(ma, 1e-8)
+    take = ma > 1.0
+    return [
+        jnp.where(take, p + v / denom, pc)
+        for p, v, pc in zip(p_clips, v_clips, prev)
+    ]
+
+
+def rgb_to_ycocg_planes(r, g, b):
+    """(taa.wgsl:20-26) on 2D planes."""
+    y = r / 4.0 + g / 2.0 + b / 4.0
+    co = r / 2.0 - b / 2.0
+    cg = -r / 4.0 + g / 2.0 - b / 4.0
+    return y, co, cg
+
+
+def ycocg_to_rgb_planes(y, co, cg):
+    """(taa.wgsl:28-34) on 2D planes — clamps to [0,1]."""
+    r = jnp.clip(y + co - cg, 0.0, 1.0)
+    g = jnp.clip(y + cg, 0.0, 1.0)
+    b = jnp.clip(y - co - cg, 0.0, 1.0)
+    return r, g, b
+
+
+def _nearest_velocity_planes(gbuffer: GBuffer):
+    """Velocity dilation via 4-tap max-depth (taa.wgsl:54-73) at the
+    G-buffer's own resolution: the four diagonal depth taps are static
+    ±1-texel shifts and the dilated fetch is a 25-way select over static
+    shifts — zero gathers, every intermediate a 2D plane. Returns
+    (vel_x, vel_y) planes."""
+    pos_depth = gbuffer.position[..., 3]
+    # offs order: (ox, oy) signs (+,+), (-,+), (+,-), (-,-)
+    signs = [(1.0, 1.0), (-1.0, 1.0), (1.0, -1.0), (-1.0, -1.0)]
+    # uv offset (+tx, +ty) maps to texel shift (dy=+1, dx=+1)
+    depths = [
+        edge_shift(pos_depth, int(oy), int(ox)) for ox, oy in signs
+    ]
+    max_depth = depths[0]
+    for d in depths[1:]:
+        max_depth = jnp.maximum(max_depth, d)
+    sx = jnp.zeros_like(pos_depth)
+    sy = jnp.zeros_like(pos_depth)
+    for (xsgn, ysgn), d in zip(signs, depths):
+        is_max = d == max_depth
+        sx = sx + jnp.where(is_max, xsgn, 0.0)
+        sy = sy + jnp.where(is_max, ysgn, 0.0)
+    take = pos_depth < max_depth
+    sx = jnp.where(take, sx, 0.0).astype(jnp.int32)
+    sy = jnp.where(take, sy, 0.0).astype(jnp.int32)
+    vx = gbuffer.velocity_uv[..., 0]
+    vy = gbuffer.velocity_uv[..., 1]
+    out_x, out_y = vx, vy
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            if dy == 0 and dx == 0:
+                continue
+            m = (sy == dy) & (sx == dx)
+            out_x = jnp.where(m, edge_shift(vx, dy, dx), out_x)
+            out_y = jnp.where(m, edge_shift(vy, dy, dx), out_y)
+    return out_x, out_y
+
+
 def nearest_velocity(gbuffer: GBuffer, uv, inv_size):
     """Velocity dilation via 4-tap max-depth (taa.wgsl:54-73). ``inv_size``
-    is the texel size of the *render* texture the pass runs at.
-
-    When the pass runs at the G-buffer's own resolution (the default
-    SMAA-TU4x pipeline) the ``uv`` grid is the identity mapping, so the
-    four diagonal depth taps are static ±1-texel shifts (edge_shift,
-    zero gathers) and the center read is the array itself; only the
-    final dilated velocity fetch stays a dynamic gather."""
-    tx, ty = inv_size
+    is the texel size of the *render* texture the pass runs at. Same-res
+    identity uv takes the zero-gather planes path; the general path keeps
+    dynamic nearest-sample taps."""
     gh, gw = gbuffer.position.shape[:2]
-    same_res = uv.shape[:2] == (gh, gw)
+    if uv.shape[:2] == (gh, gw):
+        out_x, out_y = _nearest_velocity_planes(gbuffer)
+        return jnp.stack([out_x, out_y], axis=-1)
+    tx, ty = inv_size
     offs = [(tx, ty), (-tx, ty), (tx, -ty), (-tx, -ty)]
-    if same_res:
-        pos_depth = gbuffer.position[..., 3]
-        depths = [
-            edge_shift(pos_depth, int(round(oy * gh)), int(round(ox * gw)))
-            for ox, oy in offs
-        ]
-        depth = pos_depth
-    else:
-        depths = [
-            nearest_sample(gbuffer.position, uv + jnp.asarray(o))[..., 3]
-            for o in offs
-        ]
-        depth = nearest_sample(gbuffer.position, uv)[..., 3]
+    depths = [
+        nearest_sample(gbuffer.position, uv + jnp.asarray(o))[..., 3]
+        for o in offs
+    ]
+    depth = nearest_sample(gbuffer.position, uv)[..., 3]
     depths = jnp.stack(depths, axis=-1)  # (..., 4)
     max_depth = jnp.max(depths, axis=-1)
     is_max = depths == max_depth[..., None]
     xsign = jnp.asarray([1.0, -1.0, 1.0, -1.0])
     ysign = jnp.asarray([1.0, 1.0, -1.0, -1.0])
-    if same_res:
-        # The dilated fetch offset is a small integer per axis (the sum of
-        # tied max-depth tap signs, in [-2, 2]) from the identity uv — a
-        # 25-way select over static edge shifts, zero gathers.
-        sx = jnp.sum(jnp.where(is_max, xsign, 0.0), axis=-1).astype(jnp.int32)
-        sy = jnp.sum(jnp.where(is_max, ysign, 0.0), axis=-1).astype(jnp.int32)
-        take = depth < max_depth
-        sx = jnp.where(take, sx, 0)
-        sy = jnp.where(take, sy, 0)
-        vel = gbuffer.velocity_uv[..., :2]
-        out = vel
-        for dy in range(-2, 3):
-            for dx in range(-2, 3):
-                if dy == 0 and dx == 0:
-                    continue
-                m = (sy == dy) & (sx == dx)
-                out = jnp.where(m[..., None], edge_shift(vel, dy, dx), out)
-        return out
     ox = tx * jnp.sum(jnp.where(is_max, xsign, 0.0), axis=-1)
     oy = ty * jnp.sum(jnp.where(is_max, ysign, 0.0), axis=-1)
     offset = jnp.where(
@@ -88,66 +146,72 @@ def nearest_velocity(gbuffer: GBuffer, uv, inv_size):
     return nearest_sample(gbuffer.velocity_uv, uv + offset)[..., :2]
 
 
+# 4x4 Catmull-Rom window taps actually used by the 5-tap scheme: the four
+# corners never enter _catmull_apply_planes, so the packed window carries
+# 12 taps (x3 channels = 36 lanes) instead of 16.
+CATMULL_TAPS = [
+    (i - 1, j - 1)
+    for i in range(4)
+    for j in range(4)
+    if (i, j) not in ((0, 0), (0, 3), (3, 0), (3, 3))
+]
+
+
 def catmull_rom_5tap(img, sample_position, size_hw):
     """5-tap Catmull-Rom history resample (taa.wgsl:127-144; TheRealMJP).
 
     Every texel the five bilinear taps touch lies inside the 4x4 window
     whose corner is one texel above-left of the sample, so the whole
-    resample is ONE row gather of the 16-texel corner-packed history
-    (rows of 16C) instead of five separate bilinear fetches — ~2x on the
-    measured row-gather cost model (tools/bench_gather.py). The taps are
-    then recomputed from the window with the published weights. Border
-    semantics: the window base clamps into the image and the packed
-    shifts clamp to edge, which matches per-tap clamping except for
-    samples reprojected >1 texel outside the image — those pixels are
+    resample is ONE row gather of the 12 used window taps
+    (pack_window_gather) instead of five separate bilinear fetches. The
+    taps are then recomputed from the window with the published weights.
+    Border semantics: the window base clamps into the image and the
+    packed shifts clamp to edge, which matches per-tap clamping except
+    for samples reprojected >1 texel outside the image — those pixels are
     boundary-disoccluded and variance-clipped anyway."""
     h, w = size_hw
-    C = img.shape[-1]
     texel_pos_1 = jnp.floor(sample_position - 0.5) + 0.5
     f = sample_position - texel_pos_1
     kx = jnp.clip(jnp.floor(texel_pos_1[..., 0]).astype(jnp.int32), 0, w - 1)
     ky = jnp.clip(jnp.floor(texel_pos_1[..., 1]).astype(jnp.int32), 0, h - 1)
-    from hikari_tpu.utils import gather_pixels
-
-    window = jnp.concatenate(
-        [
-            edge_shift(img, i - 1, j - 1)
-            for i in range(4)
-            for j in range(4)
-        ],
-        axis=-1,
-    )  # (h, w, 16C)
-    rows = gather_pixels(window, ky, kx)  # (..., 16C)
-
-    def W(i, j):
-        k = (i * 4 + j) * C
-        return rows[..., k : k + C]
-
-    return _catmull_apply(W, f)
+    at = pack_window_gather([(img, CATMULL_TAPS)], ky, kx)
+    out = _catmull_apply_planes(
+        lambda i, j: at(0, i - 1, j - 1), f[..., 0], f[..., 1]
+    )
+    if img.ndim == 2:
+        return out[0]
+    return jnp.stack(out, axis=-1)
 
 
-def _catmull_apply(W, f):
+def _catmull_apply_planes(W, fx, fy):
     """Catmull-Rom 5-tap weights applied to a 4x4 window accessor
-    ``W(i, j) -> (..., C)`` (window row i, col j; the sample sits between
-    (1,1) and (2,2)) with ``f`` the in-texel fraction."""
-    w0 = f * (-0.5 + f * (1.0 - 0.5 * f))
-    w1 = 1.0 + f * f * (-2.5 + 1.5 * f)
-    w2 = f * (0.5 + f * (2.0 - 1.5 * f))
-    w3 = f * f * (-0.5 + 0.5 * f)
-    w12 = w1 + w2
-    offset12 = w2 / jnp.maximum(w1 + w2, 1e-8)
+    ``W(i, j) -> [2D plane per channel]`` (window row i, col j; the sample
+    sits between (1,1) and (2,2)); ``fx``/``fy`` are the in-texel fraction
+    planes. Returns a list of 2D planes. Corner taps (0,0)/(0,3)/(3,0)/
+    (3,3) are never requested (see CATMULL_TAPS)."""
 
-    ox = offset12[..., 0][..., None]
-    oy = offset12[..., 1][..., None]
+    def weights(f):
+        w0 = f * (-0.5 + f * (1.0 - 0.5 * f))
+        w1 = 1.0 + f * f * (-2.5 + 1.5 * f)
+        w2 = f * (0.5 + f * (2.0 - 1.5 * f))
+        w3 = f * f * (-0.5 + 0.5 * f)
+        return w0, w1, w2, w3
+
+    wx = weights(fx)
+    wy = weights(fy)
+    w12x = wx[1] + wx[2]
+    w12y = wy[1] + wy[2]
+    ox = wx[2] / jnp.maximum(w12x, 1e-8)
+    oy = wy[2] / jnp.maximum(w12y, 1e-8)
 
     def lx(a, b):
-        return a + (b - a) * ox
+        return [pa + (pb - pa) * ox for pa, pb in zip(a, b)]
 
     def ly(a, b):
-        return a + (b - a) * oy
+        return [pa + (pb - pa) * oy for pa, pb in zip(a, b)]
 
-    def cl(x):
-        return jnp.clip(x, 0.0, 1.0)
+    def cl(planes):
+        return [jnp.clip(p, 0.0, 1.0) for p in planes]
 
     t_x12_y0 = cl(lx(W(0, 1), W(0, 2)))
     t_x0_y12 = cl(ly(W(1, 0), W(2, 0)))
@@ -155,11 +219,14 @@ def _catmull_apply(W, f):
     t_x3_y12 = cl(ly(W(1, 3), W(2, 3)))
     t_x12_y3 = cl(lx(W(3, 1), W(3, 2)))
 
-    out = t_x12_y0 * (w12[..., 0] * w0[..., 1])[..., None]
-    out += t_x0_y12 * (w0[..., 0] * w12[..., 1])[..., None]
-    out += t_x12_y12 * (w12[..., 0] * w12[..., 1])[..., None]
-    out += t_x3_y12 * (w3[..., 0] * w12[..., 1])[..., None]
-    out += t_x12_y3 * (w12[..., 0] * w3[..., 1])[..., None]
+    out = []
+    for c in range(len(t_x12_y12)):
+        acc = t_x12_y0[c] * (w12x * wy[0])
+        acc += t_x0_y12[c] * (wx[0] * w12y)
+        acc += t_x12_y12[c] * (w12x * w12y)
+        acc += t_x3_y12[c] * (wx[3] * w12y)
+        acc += t_x12_y3[c] * (w12x * wy[3])
+        out.append(acc)
     return out
 
 
@@ -172,28 +239,33 @@ def taa_jasmine(
     upscale_ratio: float,
 ):
     h, w = render.shape[0], render.shape[1]
-    texel = jnp.asarray([1.0 / w, 1.0 / h])
-    uv = uv_grid((h, w))
 
-    current_color = render[..., :3]
-    velocity = nearest_velocity(gbuffer, uv, (1.0 / w, 1.0 / h))
-    previous_uv = uv - velocity
-    boundary_miss = jnp.any(jnp.abs(previous_uv - 0.5) > 0.5, axis=-1)
-
-    biases = [
-        (0.0, 0.0),
-        (1.5, 1.5),
-        (-1.5, 1.5),
-        (1.5, -1.5),
-        (-1.5, -1.5),
-    ]
+    cur_r, cur_g, cur_b = (render[..., c] for c in range(3))
 
     same_res = gbuffer.position.shape[:2] == (h, w)
-    # identity-uv nearest sample == the array itself (no gather)
-    cur_pd = gbuffer.position if same_res else nearest_sample(
-        gbuffer.position, uv
+    if same_res:
+        vel_x, vel_y = _nearest_velocity_planes(gbuffer)
+        cur_depth = gbuffer.position[..., 3]
+        cur_px = gbuffer.position[..., 0]
+        cur_py = gbuffer.position[..., 1]
+        cur_pz = gbuffer.position[..., 2]
+    else:
+        uv = uv_grid((h, w))
+        vel = nearest_velocity(gbuffer, uv, (1.0 / w, 1.0 / h))
+        vel_x, vel_y = vel[..., 0], vel[..., 1]
+        cur_pd = nearest_sample(gbuffer.position, uv)
+        cur_depth = cur_pd[..., 3]
+        cur_px, cur_py, cur_pz = (cur_pd[..., c] for c in range(3))
+
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    ux = (xs.astype(jnp.float32) + 0.5) / w
+    uy = (ys.astype(jnp.float32) + 0.5) / h
+    prev_ux = ux - vel_x
+    prev_uy = uy - vel_y
+    boundary_miss = (jnp.abs(prev_ux - 0.5) > 0.5) | (
+        jnp.abs(prev_uy - 0.5) > 0.5
     )
-    cur_depth = cur_pd[..., 3]
+
     has_content = cur_depth > 0.0
     depth_miss = cur_depth == 0.0
     position_miss = cur_depth == 0.0
@@ -203,23 +275,27 @@ def taa_jasmine(
     # nearests, the velocity nearest, and the Catmull-Rom history window)
     # share the base index k = floor(sample_position - 0.5): the ±1.5-texel
     # bias taps land at k + static offset + a half-texel bit, all inside a
-    # 6x6 (history: 4x4) window. Pack the windows as row channels and
-    # gather ONCE (pack_window_gather) — 12 narrow gathers -> 1 wide one.
-    size = jnp.asarray([w, h], dtype=jnp.float32)
-    sample_position = previous_uv * size
-    tp = jnp.floor(sample_position - 0.5)
-    fr = sample_position - 0.5 - tp  # in-texel fraction, == catmull's f
-    kx = jnp.clip(tp[..., 0].astype(jnp.int32), 0, w - 1)
-    ky = jnp.clip(tp[..., 1].astype(jnp.int32), 0, h - 1)
-    bit_x = fr[..., 0] >= 0.5
-    bit_y = fr[..., 1] >= 0.5
+    # 6x6 window (position xyz: 4x4; history: the 12 used Catmull taps).
+    # Packed channels: depth 36 + xyz 48 + velocity 8 + history 36 = 128 —
+    # exactly one TPU lane tile, one wide gather.
+    spx = prev_ux * w
+    spy = prev_uy * h
+    tpx = jnp.floor(spx - 0.5)
+    tpy = jnp.floor(spy - 0.5)
+    frx = spx - 0.5 - tpx  # in-texel fraction, == catmull's f
+    fry = spy - 0.5 - tpy
+    kx = jnp.clip(tpx.astype(jnp.int32), 0, w - 1)
+    ky = jnp.clip(tpy.astype(jnp.int32), 0, h - 1)
+    bit_x = frx >= 0.5
+    bit_y = fry >= 0.5
 
-    POS, VEL, HIST = 0, 1, 2
+    DEPTH, POS, VEL, HIST = 0, 1, 2, 3
     at = pack_window_gather(
         [
-            (prev_gbuffer.position, range(-2, 4), range(-2, 4)),
-            (prev_gbuffer.velocity_uv[..., :2], (0, 1), (0, 1)),
-            (previous_render[..., :3], range(-1, 3), range(-1, 3)),
+            (prev_gbuffer.position, cross(range(-2, 4), range(-2, 4)), (3,)),
+            (prev_gbuffer.position, cross(range(-1, 3), range(-1, 3)), (0, 1, 2)),
+            (prev_gbuffer.velocity_uv, cross((0, 1), (0, 1)), (0, 1)),
+            (previous_render, CATMULL_TAPS, (0, 1, 2)),
         ],
         ky,
         kx,
@@ -241,69 +317,100 @@ def taa_jasmine(
             return (0, 1)
         return 2 if o > 0 else -1
 
+    biases = [
+        (0.0, 0.0),
+        (1.5, 1.5),
+        (-1.5, 1.5),
+        (1.5, -1.5),
+        (-1.5, -1.5),
+    ]
     for bx, by in biases:
         gy, gx = gather_base(by), gather_base(bx)
 
         def corner(dy, dx):
             oy = gy + dy if isinstance(gy, int) else (gy[0] + dy, gy[1] + dy)
             ox = gx + dx if isinstance(gx, int) else (gx[0] + dx, gx[1] + dx)
-            return dyn_at(POS, oy, ox, slice(3, 4))[..., 0]
+            return dyn_at(DEPTH, oy, ox)[0]
 
-        prev_depths = jnp.stack(
-            [corner(dy, dx) for dy in (0, 1) for dx in (0, 1)], axis=-1
+        any_content = None
+        any_miss = None
+        for dy in (0, 1):
+            for dx in (0, 1):
+                pd = corner(dy, dx)
+                ratio = jnp.where(
+                    pd == 0.0, 1.0, cur_depth / jnp.where(pd == 0.0, 1.0, pd)
+                )
+                c = pd > 0.0
+                m = ratio < 0.95
+                any_content = c if any_content is None else (any_content | c)
+                any_miss = m if any_miss is None else (any_miss | m)
+        has_content = has_content | any_content
+        depth_miss = depth_miss | any_miss
+        ppx, ppy, ppz = dyn_at(POS, nearest_off(by), nearest_off(bx))
+        dist2 = (
+            (cur_px - ppx) ** 2 + (cur_py - ppy) ** 2 + (cur_pz - ppz) ** 2
         )
-        ratio = jnp.where(
-            prev_depths == 0.0, 1.0, cur_depth[..., None] / jnp.where(prev_depths == 0.0, 1.0, prev_depths)
-        )
-        has_content = has_content | jnp.any(prev_depths > 0.0, axis=-1)
-        depth_miss = depth_miss | jnp.any(ratio < 0.95, axis=-1)
-        prev_pos = dyn_at(POS, nearest_off(by), nearest_off(bx), slice(0, 3))
-        dist = jnp.linalg.norm(cur_pd[..., :3] - prev_pos, axis=-1)
-        position_miss = position_miss | (dist > 0.5)
+        position_miss = position_miss | (dist2 > 0.25)
 
-    prev_velocity = dyn_at(VEL, (0, 1), (0, 1), slice(0, 2))
+    pvel_x, pvel_y = dyn_at(VEL, (0, 1), (0, 1))
     velocity_miss = (
-        jnp.linalg.norm(velocity - prev_velocity, axis=-1) > 0.00005
-    )
+        (vel_x - pvel_x) ** 2 + (vel_y - pvel_y) ** 2
+    ) > 0.00005**2
 
-    previous_color = _catmull_apply(
-        lambda i, j: at(HIST, i - 1, j - 1), fr
+    prev_r, prev_g, prev_b = _catmull_apply_planes(
+        lambda i, j: at(HIST, i - 1, j - 1), frx, fry
     )
 
     # Disocclusion -> 3x3 YCoCg variance clipping (taa.wgsl:146-164).
-    # The taps are static ±1-texel offsets of the pass's own render
-    # texture — pure edge_shifts, zero gathers.
-    rgb = jnp.clip(render[..., :3], 0.0, 1.0)
-
-    def s_ycocg(dx, dy):
-        return rgb_to_ycocg(edge_shift(rgb, dy, dx))
-
-    taps = [
-        s_ycocg(-1, 1),
-        s_ycocg(0, 1),
-        s_ycocg(1, 1),
-        s_ycocg(-1, 0),
-        rgb_to_ycocg(jnp.clip(current_color, 0.0, 1.0)),
-        s_ycocg(1, 0),
-        s_ycocg(-1, -1),
-        s_ycocg(0, -1),
-        s_ycocg(1, -1),
+    # YCoCg is a linear per-pixel transform, so ycocg(shift(rgb)) ==
+    # shift(ycocg(rgb)): convert once, then the taps are static ±1-texel
+    # edge shifts of the three 2D chroma planes — zero gathers.
+    cy0, co0, cg0 = rgb_to_ycocg_planes(
+        jnp.clip(cur_r, 0.0, 1.0),
+        jnp.clip(cur_g, 0.0, 1.0),
+        jnp.clip(cur_b, 0.0, 1.0),
+    )
+    center = (cy0, co0, cg0)
+    offsets = [
+        (1, -1), (1, 0), (1, 1),
+        (0, -1), (0, 0), (0, 1),
+        (-1, -1), (-1, 0), (-1, 1),
     ]
-    m1 = sum(taps)
-    m2 = sum(t * t for t in taps)
-    mean = m1 / 9.0
-    variance = jnp.sqrt(jnp.maximum(m2 / 9.0 - mean * mean, 0.0))
-    prev_y = rgb_to_ycocg(previous_color)
-    clipped = clip_towards_aabb_center(
-        prev_y, taps[4], mean - variance, mean + variance
+    m1 = [jnp.zeros_like(p) for p in center]
+    m2 = [jnp.zeros_like(p) for p in center]
+    for dy, dx in offsets:
+        for c, p in enumerate(center):
+            t = p if (dy == 0 and dx == 0) else edge_shift(p, dy, dx)
+            m1[c] = m1[c] + t
+            m2[c] = m2[c] + t * t
+    mean = [a / 9.0 for a in m1]
+    var = [
+        jnp.sqrt(jnp.maximum(b / 9.0 - m * m, 0.0)) for b, m in zip(m2, mean)
+    ]
+    prev_y = rgb_to_ycocg_planes(prev_r, prev_g, prev_b)
+    clipped = clip_aabb_planes(
+        prev_y,
+        [m - v for m, v in zip(mean, var)],
+        [m + v for m, v in zip(mean, var)],
     )
+    clip_r, clip_g, clip_b = ycocg_to_rgb_planes(*clipped)
     do_clip = boundary_miss | (position_miss & velocity_miss & depth_miss)
-    previous_color = jnp.where(
-        do_clip[..., None], ycocg_to_rgb(clipped), previous_color
-    )
+    prev_r = jnp.where(do_clip, clip_r, prev_r)
+    prev_g = jnp.where(do_clip, clip_g, prev_g)
+    prev_b = jnp.where(do_clip, clip_b, prev_b)
 
     blend = 0.1 / upscale_ratio
-    output = previous_color + (current_color - previous_color) * blend
-    out = jnp.concatenate([output, render[..., 3:4]], axis=-1)
-    clear = jnp.broadcast_to(jnp.asarray(clear_color), out.shape)
-    return jnp.where(has_content[..., None], out, clear)
+    out_r = prev_r + (cur_r - prev_r) * blend
+    out_g = prev_g + (cur_g - prev_g) * blend
+    out_b = prev_b + (cur_b - prev_b) * blend
+
+    clear = jnp.broadcast_to(jnp.asarray(clear_color), (4,))
+    out = jnp.stack(
+        [
+            jnp.where(has_content, p, clear[c])
+            for c, p in enumerate((out_r, out_g, out_b))
+        ]
+        + [jnp.where(has_content, render[..., 3], clear[3])],
+        axis=-1,
+    )
+    return out

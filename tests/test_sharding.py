@@ -97,3 +97,43 @@ def test_2d_tile_sharding_matches(setup):
     np.testing.assert_allclose(
         np.asarray(out_ref.image), np.asarray(out_sh.image), atol=2e-5
     )
+
+
+def test_multihost_step_keeps_pallas_tracer(setup, monkeypatch):
+    """Round-2 VERDICT item 3: make_multihost_train_step must hand the
+    mesh to make_train_step so trace backends run under an active
+    shard_tracing context spanning BOTH (hosts, chips) axes — without it
+    the step silently rewrote tracer='auto' to 'auto_xla' and lost the
+    fused Pallas tile-walk (measured 4.2x slower on FlightHelmet)."""
+    import contextlib
+
+    from hikari_tpu.parallel import multihost
+    from hikari_tpu.trace import api as trace_api
+
+    buffers, cam, settings = setup
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = jax.sharding.Mesh(devices, multihost.HOST_AXES)
+
+    seen = {}
+    real = trace_api.shard_tracing
+
+    @contextlib.contextmanager
+    def spy(mesh_arg, axis=None):
+        seen["mesh_axes"] = tuple(mesh_arg.axis_names)
+        with real(mesh_arg, axis):
+            seen["ctx_axes"] = tuple(trace_api._SHARD_CTX[-1][1])
+            yield
+
+    monkeypatch.setattr(trace_api, "shard_tracing", spy)
+    step = multihost.make_multihost_train_step(settings, mesh)
+    state = multihost.host_local_state(settings, mesh)
+    target = jnp.zeros(settings.output_size + (3,))
+    with mesh:
+        b = multihost.replicate_host_local(buffers, mesh)
+        loss, grads, out, _ = step(b, cam, state, target)
+    assert np.isfinite(float(loss))
+    g = np.asarray(grads["mat_base_color"])
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
+    # The context was entered with the host mesh and covers both axes.
+    assert seen["mesh_axes"] == multihost.HOST_AXES
+    assert seen["ctx_axes"] == multihost.HOST_AXES
