@@ -122,12 +122,12 @@ def fetch_gbuffer_deferred(
         c = _deferred_phase(frame_number, Ri, amount)
         f = lambda a: strided_deferred_plane(a, c, Ri, render_size)
         return GBuffer(
-            position=clip_gradient(f(gb.position), 1e4),
-            normal=clip_gradient(f(gb.normal), 1e4),
-            depth_gradient=clip_gradient(f(gb.depth_gradient), 1e4),
+            position=clip_gradient(f(gb.position), 1e4, "gb_fetch"),
+            normal=clip_gradient(f(gb.normal), 1e4, "gb_fetch"),
+            depth_gradient=clip_gradient(f(gb.depth_gradient), 1e4, "gb_fetch"),
             instance=f(gb.instance),
             material=f(gb.material),
-            velocity_uv=clip_gradient(f(gb.velocity_uv), 1e4),
+            velocity_uv=clip_gradient(f(gb.velocity_uv), 1e4, "gb_fetch"),
         )
     rh, rw = render_size
     ys, xs = render_coords(render_size)
@@ -147,14 +147,14 @@ def fetch_gbuffer(gb: GBuffer, y, x):
     # G-buffer (and through it into vertex positions) from the lighting
     # estimator chains — see diff.clip_gradient.
     return GBuffer(
-        position=clip_gradient(gather_pixels(gb.position, y, x), 1e4),
-        normal=clip_gradient(gather_pixels(gb.normal, y, x), 1e4),
+        position=clip_gradient(gather_pixels(gb.position, y, x), 1e4, "gb_gather"),
+        normal=clip_gradient(gather_pixels(gb.normal, y, x), 1e4, "gb_gather"),
         depth_gradient=clip_gradient(
-            gather_pixels(gb.depth_gradient, y, x), 1e4
+            gather_pixels(gb.depth_gradient, y, x), 1e4, "gb_gather"
         ),
         instance=gather_pixels(gb.instance, y, x),
         material=gather_pixels(gb.material, y, x),
-        velocity_uv=clip_gradient(gather_pixels(gb.velocity_uv, y, x), 1e4),
+        velocity_uv=clip_gradient(gather_pixels(gb.velocity_uv, y, x), 1e4, "gb_gather"),
     )
 
 

@@ -101,7 +101,7 @@ def render_frame(
             # cotangents flowing between passes (MC estimator weights
             # produce float32-overflowing local derivatives).
             return jax.tree_util.tree_map(
-                lambda x: clip_gradient(x, 1e4)
+                lambda x: clip_gradient(x, 1e4, name)
                 if jnp.issubdtype(x.dtype, jnp.floating)
                 else x,
                 out,

@@ -746,13 +746,13 @@ def _refine_from_vertices(origin, direction, hit: Hit, v0, v1, v2):
     # evaluates a clamped triangle at DISTANCE_MAX-scale origins whose
     # float32 partials can overflow; bound + scrub cotangents so
     # estimator-weight chains can't push NaN into the vertex buffer.
-    v0 = clip_gradient(v0, 1e6)
-    v1 = clip_gradient(v1, 1e6)
-    v2 = clip_gradient(v2, 1e6)
+    v0 = clip_gradient(v0, 1e6, "refine_verts")
+    v1 = clip_gradient(v1, 1e6, "refine_verts")
+    v2 = clip_gradient(v2, 1e6, "refine_verts")
     t, u, v = intersects_triangle(origin, direction, v0, v1, v2)
-    t = clip_gradient(t, 1e4)
-    u = clip_gradient(u, 1e4)
-    v = clip_gradient(v, 1e4)
+    t = clip_gradient(t, 1e4, "refine_tuv")
+    u = clip_gradient(u, 1e4, "refine_tuv")
+    v = clip_gradient(v, 1e4, "refine_tuv")
     miss = hit.prim < 0
     t = jnp.where(miss, hit.t, t)
     u = jnp.where(miss, hit.u, u)

@@ -185,3 +185,28 @@ def test_spatial_radiance_grads_flag():
     # The attached policy routes additional gradient through the reuse
     # merge — the two must differ.
     assert not np.allclose(g_attached, g_detached)
+
+
+def test_clip_engagement_counter(monkeypatch):
+    """HIKARI_COUNT_CLIP=1 records per-site cotangent clamp engagement
+    through the custom-vjp backward (round-2 VERDICT item 9)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hikari_tpu import diff
+
+    monkeypatch.setenv("HIKARI_COUNT_CLIP", "1")
+    diff.reset_clip_engagement()
+
+    def f(x):
+        return jnp.sum(diff.clip_gradient(x**2, 1e4, "test_site") * 1e9)
+
+    g = jax.grad(f)(jnp.arange(4.0))
+    jax.block_until_ready(g)
+    rep = diff.clip_engagement_report()
+    assert "test_site" in rep
+    engaged, total, rate = rep["test_site"]
+    assert total == 4 and engaged == 4  # every cotangent is 1e9 > 1e4
+    # And the clip itself still applies.
+    assert float(jnp.max(jnp.abs(g))) <= 1e4 * 2 * 3 + 1e-3
+    diff.reset_clip_engagement()

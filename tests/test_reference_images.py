@@ -46,9 +46,12 @@ def test_cornell_matches_reference_screenshot():
     p = psnr(ours, ref)
     s = ssim(ours, ref)
     print(f"cornell vs reference screenshot: PSNR={p:.2f}dB SSIM={s:.4f}")
-    # Converged-output thresholds (stochastic paths differ; geometry,
-    # radiometric scale, and tonemap must match).
-    assert p > 19.0, f"PSNR {p:.2f} dB vs reference screenshot"
-    assert s > 0.70, f"SSIM {s:.4f} vs reference screenshot"
+    # Measured-minus-noise thresholds (round-2 VERDICT item 6): the
+    # exact-RNG bank makes the render deterministic; this test measures
+    # 23.58 dB / SSIM 0.806 (2026-08, CPU == TPU to float tolerance).
+    # 1.5 dB / 0.025 headroom covers platform float drift only — a real
+    # quality regression fails.
+    assert p > 22.0, f"PSNR {p:.2f} dB vs reference screenshot"
+    assert s > 0.78, f"SSIM {s:.4f} vs reference screenshot"
     # Exposure: mean brightness within 5%.
     assert abs(float(ours.mean()) - float(ref.mean())) < 0.05 * float(ref.mean())
