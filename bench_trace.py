@@ -64,6 +64,13 @@ def build_scenes(stress: bool = False):
             Scene(materials=[], directional_light=_sun_from_euler(-1.0, 0.6, 0.0)),
             blocks=24,
         )
+    # Reference-scale acceptance geometry (round-2 VERDICT item 7):
+    # 16x16 blocks of window-facade towers, ~551k tris / 256 instances.
+    scenes["city-551k"] = procedural_city(
+        Scene(materials=[], directional_light=_sun_from_euler(-1.0, 0.6, 0.0)),
+        blocks=16,
+        detail=True,
+    )
     return scenes
 
 

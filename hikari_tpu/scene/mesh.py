@@ -139,6 +139,65 @@ def cube_mesh(size: float = 1.0) -> Mesh:
     return Mesh(positions, normals, uvs, indices)
 
 
+def building_mesh(
+    floors: int = 8, cols: int = 5, seed: int = 0
+) -> Mesh:
+    """A detailed tower in the unit cube [-0.5, 0.5]^3: a base box plus a
+    (cols x floors) grid of protruding window boxes on all four facades —
+    12 + 48*floors*cols triangles (floors=8, cols=5: 1932). The geometry
+    class the reference's City stage exercises (examples/city.rs:
+    streamed building models with facade detail), built procedurally so
+    the acceptance config reaches reference scale (>=500k tris) without
+    the absent City scene.bin. Fully vectorized construction."""
+    rng = np.random.default_rng(seed)
+    base = cube_mesh(1.0)
+    tpl_p = np.asarray(base.positions, dtype=np.float64)  # (24, 3)
+    tpl_n = np.asarray(base.normals, dtype=np.float64)
+    tpl_uv = np.asarray(base.uvs, dtype=np.float64)
+    tpl_i = np.asarray(base.indices, dtype=np.int64)  # (12, 3)
+
+    # Window boxes: centers on a facade grid, protruding 0.02 outward.
+    w = 0.7 / cols * 0.55  # window width (x or z extent along facade)
+    h = 0.8 / floors * 0.5  # window height
+    d = 0.04  # protrusion depth
+    xs = (np.arange(cols) + 0.5) / cols - 0.5  # facade-local centers
+    ys = (np.arange(floors) + 0.5) / floors - 0.5
+    gx, gy = np.meshgrid(xs * 0.9, ys * 0.9, indexing="ij")
+    gx = gx.ravel()
+    gy = gy.ravel()
+    jitter = rng.uniform(0.9, 1.0, size=gx.size)
+    scales, centers = [], []
+    for face in range(4):
+        # faces: +z, -z, +x, -x
+        if face < 2:
+            s = np.stack([np.full_like(gx, w), np.full_like(gx, h),
+                          np.full_like(gx, d)], axis=-1)
+            c = np.stack([gx, gy, np.where(face == 0, 0.5, -0.5)
+                          * np.ones_like(gx)], axis=-1)
+        else:
+            s = np.stack([np.full_like(gx, d), np.full_like(gx, h),
+                          np.full_like(gx, w)], axis=-1)
+            c = np.stack([np.where(face == 2, 0.5, -0.5)
+                          * np.ones_like(gx), gy, gx], axis=-1)
+        s = s * jitter[:, None]
+        scales.append(s)
+        centers.append(c)
+    scales = np.concatenate(scales)  # (N, 3)
+    centers = np.concatenate(centers)
+    n_boxes = scales.shape[0]
+
+    pos = tpl_p[None] * scales[:, None] + centers[:, None]  # (N, 24, 3)
+    nrm = np.broadcast_to(tpl_n[None], pos.shape)
+    uv = np.broadcast_to(tpl_uv[None], (n_boxes, 24, 2))
+    idx = tpl_i[None] + 24 * np.arange(1, n_boxes + 1)[:, None, None]
+
+    positions = np.concatenate([tpl_p, pos.reshape(-1, 3)])
+    normals = np.concatenate([tpl_n, nrm.reshape(-1, 3)])
+    uvs = np.concatenate([tpl_uv, uv.reshape(-1, 2)])
+    indices = np.concatenate([tpl_i, idx.reshape(-1, 3)])
+    return Mesh(positions, normals, uvs, indices)
+
+
 def uv_sphere_mesh(radius: float = 1.0, sectors: int = 36, stacks: int = 18) -> Mesh:
     """A UV sphere (bevy ``shape::UVSphere``-like)."""
     positions, normals, uvs = [], [], []

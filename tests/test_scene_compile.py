@@ -86,3 +86,32 @@ def test_instance_world_aabbs(cornell_scene):
         tris = arrays.tri_world[lo:hi].reshape(-1, 3)
         assert (tris >= arrays.inst_min[i] - 1e-4).all()
         assert (tris <= arrays.inst_max[i] + 1e-4).all()
+
+
+def test_city_reference_scale():
+    """Round-2 VERDICT item 7: the City acceptance config must be
+    reference-scale geometry (>=500k triangles, many streamable
+    instances), not the 3.3k-tri toy fallback."""
+    from hikari_tpu.io.scenes import city_config
+    from hikari_tpu.scene import build_scene_buffers
+    from hikari_tpu.trace.api import trace_rays
+
+    scene, cam, settings = city_config()
+    b = build_scene_buffers(scene)
+    assert b.num_tris >= 500_000, b.num_tris
+    assert len(scene.instances) >= 200
+    assert b.num_emissives > 0  # street lamps: emissive channel exercised
+    # A few rays actually hit the towers through the BVH walk.
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = 32
+    o = jnp.tile(jnp.asarray([[30.0, 20.0, 30.0]]), (n, 1))
+    t = np.stack(
+        [np.linspace(-20, 20, n), np.zeros(n) + 5.0, np.linspace(-20, 20, n)],
+        axis=-1,
+    )
+    d = t - np.asarray(o)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    hit = trace_rays(b, o, jnp.asarray(d), method="tiled")
+    assert int(jnp.sum(hit.inst >= 0)) > n // 2
