@@ -157,6 +157,15 @@ class RenderSettings:
     # memory — required for 1080p fwd+grad on a 16 GB chip.
     remat: bool = True
 
+    # Profiling only (tools/profile_prefix.py): truncate the pipeline
+    # right after the named stage ("gbuffer", "albedo", "direct",
+    # "emissive", "indirect", "denoise", "tonemap", "smaa", "taa") and
+    # return a reduced dummy output. Consecutive-prefix deltas give
+    # honest per-stage costs inside the REAL pipeline (state threading
+    # and frame-counter dependence intact, so XLA cannot hoist a stage
+    # out of the timing scan the way isolated-pass timing allows).
+    stop_after: str | None = None
+
     def __post_init__(self):
         if isinstance(self.clear_color, list):
             object.__setattr__(self, "clear_color", tuple(self.clear_color))

@@ -15,7 +15,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from hikari_tpu.utils import PI, dot3, gather_channels, safe_normalize, saturate, reflect
+from hikari_tpu.utils import PI, dot3, gather_channels, mxu_table_gather, safe_normalize, saturate, reflect
 
 
 # ---------------------------------------------------------------------------
@@ -143,7 +143,7 @@ def retrieve_surface(scene, material_index, uv=None) -> Surface:
         ],
         axis=-1,
     )
-    rows = gather_channels(packed, safe)  # (..., 11)
+    rows = mxu_table_gather(packed, safe)  # (..., 11); mat grads ride the MXU VJP
     base_color = rows[..., 0:4]
     emissive = rows[..., 4:8]
     metallic = rows[..., 8]
@@ -184,7 +184,7 @@ def retrieve_surface(scene, material_index, uv=None) -> Surface:
 def retrieve_emissive(scene, material_index, uv=None):
     """Reference ``retreive_emissive`` (light.wgsl:744-747, :783-793)."""
     safe = jnp.maximum(material_index, 0)
-    emissive = gather_channels(scene.mat_emissive, safe)
+    emissive = mxu_table_gather(scene.mat_emissive, safe)
     if getattr(scene, "num_textures", 0) > 0 and uv is not None:
         from hikari_tpu.render.texture import sample_texture_stack, srgb_to_linear
 

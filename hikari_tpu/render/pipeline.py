@@ -79,6 +79,33 @@ def render_frame(
     if noise_bank is None:
         noise_bank = jnp.asarray(blue_noise_bank())
     frame_number = state.frame_number
+    state_in = state
+
+    def _truncate(*trees):
+        """settings.stop_after support (tools/profile_prefix.py): reduce
+        everything computed so far into a tiny dummy output (nothing is
+        DCE'd) and carry the input state forward unchanged."""
+        leaves = [
+            jnp.sum(v.astype(jnp.float32))
+            for t in trees
+            for v in jax.tree_util.tree_leaves(t)
+            if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+        ]
+        img = jnp.full((4, 4, 4), sum(leaves))
+        out = RenderOutputs(
+            image=img, albedo=img, direct=img, emissive=img,
+            indirect=img, tonemapped=img, stats=None,
+        )
+        st = FrameState(
+            **{
+                **{
+                    f: getattr(state_in, f)
+                    for f in state_in.__dataclass_fields__
+                },
+                "frame_number": frame_number + 1,
+            }
+        )
+        return out, st
 
     # Pass-level rematerialization: under jax.grad each pass recomputes
     # its forward in the backward sweep instead of saving every
@@ -136,10 +163,16 @@ def render_frame(
         "prepass",
     )(scene)
 
+    if settings.stop_after == "gbuffer":
+        return _truncate(gbuffer)
+
     # ---- LIGHT ----
     albedo = ckpt(
         lambda sc: full_screen_albedo(sc, camera, gbuffer), "albedo"
     )(scene)
+
+    if settings.stop_after == "albedo":
+        return _truncate(gbuffer, albedo)
 
     de_spatial = state.de_spatial
     direct_out, direct_var, direct_temporal, de_spatial, bg, _ = ckpt(
@@ -157,6 +190,9 @@ def render_frame(
         ),
         "direct_lit",
     )(scene, state.direct_temporal, de_spatial)
+
+    if settings.stop_after == "direct":
+        return _truncate(gbuffer, albedo, direct_out, direct_var, de_spatial)
 
     if settings.emissive_lit and scene.num_emissives > 0:
         em_out, em_var, em_temporal, de_spatial, _, _ = ckpt(
@@ -194,6 +230,11 @@ def render_frame(
         em_out = jnp.zeros((rh, rw, 3))
         em_var = jnp.zeros((rh, rw))
         em_temporal = state.emissive_temporal
+
+    if settings.stop_after == "emissive":
+        return _truncate(
+            gbuffer, albedo, direct_out, em_out, em_var, de_spatial
+        )
 
     indirect_spatial = state.indirect_spatial
     if settings.indirect_bounces > 0:
@@ -238,6 +279,12 @@ def render_frame(
         ind_var = jnp.zeros((rh, rw))
         ind_temporal = state.indirect_temporal
 
+    if settings.stop_after == "indirect":
+        return _truncate(
+            gbuffer, albedo, direct_out, em_out, ind_out, ind_var,
+            indirect_spatial,
+        )
+
     # ---- POST PROCESS ----
     if settings.denoise and denoise_fn is not None:
         # Custom channel denoiser (e.g. the shard_map manual-halo path):
@@ -269,6 +316,9 @@ def render_frame(
     else:
         direct_d, em_d, ind_d = direct_out, em_out, ind_out
 
+    if settings.stop_after == "denoise":
+        return _truncate(gbuffer, albedo, direct_d, em_d, ind_d)
+
     fg = (~bg).astype(jnp.float32)[..., None]
 
     def with_alpha(rgb):
@@ -281,6 +331,9 @@ def render_frame(
         settings.clear_color,
     )
 
+    if settings.stop_after == "tonemap":
+        return _truncate(gbuffer, albedo, tonemapped)
+
     current = tonemapped
     prev_upscaled = state.prev_upscaled
     if settings.upscale.mode == UpscaleMode.SMAA_TU4X:
@@ -288,6 +341,9 @@ def render_frame(
             current, state.prev_upscaled, gbuffer, state.prev_gbuffer, frame_number
         )
         prev_upscaled = current
+
+    if settings.stop_after == "smaa":
+        return _truncate(gbuffer, albedo, current)
 
     prev_taa = state.prev_taa
     if settings.taa == Taa.JASMINE:
@@ -300,6 +356,9 @@ def render_frame(
             settings.upscale_ratio,
         )
         prev_taa = current
+
+    if settings.stop_after == "taa":
+        return _truncate(gbuffer, albedo, current)
 
     if settings.upscale.mode == UpscaleMode.FSR1:
         from hikari_tpu.render.fsr import fsr_upscale

@@ -719,10 +719,17 @@ def _trace_bvh_chunk(scene, o, d, maxd, early, excl, lo, hi, max_steps: int = 0)
 def gather_triangle_vertices(tri_world, prim):
     """Gather hit-triangle vertices component-major: indexing (P,3,3) by a
     pixel grid makes XLA materialize a (R,3,3) tile-padded ~50x on TPU
-    (~4 GB at 1080p); gathering from the (9, P) transpose keeps the lane
-    dimension on pixels (no padding). Differentiable.
-    Returns (v0, v1, v2), each (..., 3)."""
+    (~4 GB at 1080p). Small scenes take the (P, 9) row gather with the
+    one-hot-matmul VJP (scatter transposes are 5x slower on TPU —
+    utils.mxu_table_gather); large scenes gather from the (9, P)
+    transpose, which keeps the lane dimension on pixels (no padding).
+    Differentiable. Returns (v0, v1, v2), each (..., 3)."""
+    from hikari_tpu.utils import MXU_GATHER_MAX_ROWS, mxu_table_gather
+
     P = tri_world.shape[0]
+    if P <= MXU_GATHER_MAX_ROWS:
+        v = mxu_table_gather(tri_world.reshape(P, 9), prim)  # (..., 9)
+        return v[..., 0:3], v[..., 3:6], v[..., 6:9]
     tw = tri_world.reshape(P, 9).T  # (9, P)
     comps = tw[:, prim]  # (9, ...)
     v = jnp.moveaxis(comps, 0, -1)  # (..., 9)
@@ -799,9 +806,12 @@ def hit_info(scene: SceneBuffers, origin, direction, hit: Hit) -> HitInfo:
     (differentiably refined) distance. One packed row gather serves the
     refine vertices, the vertex attributes, and the material id."""
     safe_prim = jnp.maximum(hit.prim, 0)
-    from hikari_tpu.utils import gather_channels
+    from hikari_tpu.utils import mxu_table_gather
 
-    rows = gather_channels(_hit_rows(scene), safe_prim)  # (..., 25)
+    # mxu_table_gather: the rows are differentiable w.r.t. tri_world, and
+    # the one-hot-matmul VJP beats the XLA scatter transpose 5x on small
+    # scenes (utils.MXU_GATHER_MAX_ROWS gate).
+    rows = mxu_table_gather(_hit_rows(scene), safe_prim)  # (..., 25)
     v0, v1, v2 = rows[..., 0:3], rows[..., 3:6], rows[..., 6:9]
     t, u, v = _refine_from_vertices(origin, direction, hit, v0, v1, v2)
     n0, n1, n2 = rows[..., 9:12], rows[..., 12:15], rows[..., 15:18]

@@ -182,12 +182,86 @@ def gather_channels(table, idx):
     rows 12 ms; 16-wide 49 ms), so C per-channel plane gathers cost ~C
     times one packed row gather. The round-1 channel-plane loop (kept
     for ndim==1) predates this measurement; the (R, C) result's lane
-    padding is transient and far cheaper than C full gathers."""
+    padding is transient and far cheaper than C full gathers.
+
+    Differentiable tables with few rows should use ``mxu_table_gather``
+    (one-hot-matmul VJP; 5x the scatter transpose on v5e)."""
     idx = jnp.asarray(idx)
     if table.ndim == 1:
         return table[idx]
     rows = table.reshape(-1, table.shape[-1])[idx.reshape(-1)]
     return rows.reshape(idx.shape + (table.shape[-1],))
+
+
+import functools as _functools
+import jax as _jax
+
+# Small-table gathers in the differentiable path: the default transpose of
+# a gather is an XLA scatter-add, which the TPU executes ~5x slower than a
+# blocked one-hot matmul riding the MXU (measured v5e, 2M rows x 25 ch
+# into 40 rows: scatter 16.0 ms vs one-hot 3.2 ms). Only worthwhile when
+# the table is small (the one-hot is (block, K)); callers gate on K.
+MXU_GATHER_MAX_ROWS = 4096
+_MXU_BLOCK = 131072
+
+
+@_jax.custom_vjp
+def _mxu_gather_rows(table, idx):
+    return table[idx]
+
+
+def _mxu_gather_rows_fwd(table, idx):
+    return table[idx], (idx, table.shape)
+
+
+def _mxu_gather_rows_bwd(res, g):
+    idx, tshape = res
+    K = tshape[0]
+    gf = g.reshape(-1, tshape[1])
+    flat_idx = idx.reshape(-1)
+    n = gf.shape[0]
+    npad = -(-n // _MXU_BLOCK) * _MXU_BLOCK
+    if npad != n:
+        gf = jnp.concatenate(
+            [gf, jnp.zeros((npad - n, gf.shape[1]), gf.dtype)]
+        )
+        flat_idx = jnp.concatenate(
+            [flat_idx, jnp.zeros((npad - n,), flat_idx.dtype)]
+        )
+        # Padded rows carry zero cotangent, so index 0 receives nothing.
+    idx_b = flat_idx.reshape(-1, _MXU_BLOCK)
+    g_b = gf.reshape(-1, _MXU_BLOCK, gf.shape[1])
+
+    def body(acc, xb):
+        ib, gb = xb
+        oh = (ib[:, None] == jnp.arange(K)[None, :]).astype(gb.dtype)
+        return acc + oh.T @ gb, None
+
+    acc, _ = _jax.lax.scan(
+        body, jnp.zeros((K, gf.shape[1]), gf.dtype), (idx_b, g_b)
+    )
+    return acc, None
+
+
+_mxu_gather_rows.defvjp(_mxu_gather_rows_fwd, _mxu_gather_rows_bwd)
+
+
+def mxu_table_gather(table, idx):
+    """``gather_channels`` with a one-hot-matmul VJP: the table cotangent
+    is a blocked segment-sum on the MXU instead of an XLA scatter-add
+    (5x faster on v5e for few-row tables — see MXU_GATHER_MAX_ROWS).
+    Falls back to the plain gather for large tables (the one-hot matmul
+    scales with K) or non-2D tables."""
+    idx = jnp.asarray(idx)
+    if table.shape[0] > MXU_GATHER_MAX_ROWS:
+        return gather_channels(table, idx)
+    if table.ndim == 1:
+        rows = _mxu_gather_rows(table[:, None], idx.reshape(-1))
+        return rows.reshape(idx.shape)
+    rows = _mxu_gather_rows(
+        table.reshape(table.shape[0], -1), idx.reshape(-1)
+    )
+    return rows.reshape(idx.shape + table.shape[1:])
 
 
 def gather_pixels(img, y, x):
