@@ -199,20 +199,63 @@ def main():
     rays = rays_per_frame(settings, buffers) * frames
     rays_per_sec = rays / best_dt
     dt = best_dt
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "rays/sec/chip fwd+grad, 1080p Cornell"
-                    if args.config == "cornell"
-                    else f"rays/sec/chip fwd+grad, {height}p {args.config}"
-                ),
-                "value": rays_per_sec,
-                "unit": "rays/s",
-                "vs_baseline": rays_per_sec / BASELINE_RAYS_PER_SEC,
-            }
-        )
-    )
+
+    # Large-scene rows (round-2 VERDICT item 4): on the default driver run
+    # also measure the full pipeline on real geometry (FlightHelmet 95k
+    # tris; procedural city 551k tris) and embed the results in the SAME
+    # single JSON line under "extra". Strictly budgeted + exception-proof
+    # so the cornell north-star number can never be jeopardized; the
+    # compile cache is pre-warmed in-round so these are runtime-only.
+    extra = None
+    if args.config == "cornell" and not os.environ.get("HIKARI_BENCH_NO_EXTRA"):
+        extra = []
+        budget_t0 = time.perf_counter()
+        for cfg in ("scene", "city"):
+            if time.perf_counter() - budget_t0 > 900.0:
+                extra.append({"config": cfg, "skipped": "time budget"})
+                continue
+            try:
+                xframes = 8
+                xrun, xops, xsettings = build_bench_case(cfg, xframes)
+                xacc, _ = xrun(*xops)
+                _ = float(xacc)  # compile + warm
+                xbest = float("inf")
+                for _rep in range(2):
+                    t0 = time.perf_counter()
+                    xacc, _ = xrun(*xops)
+                    _ = float(xacc)
+                    xbest = min(xbest, time.perf_counter() - t0)
+                xrays = rays_per_frame(xsettings, xops[0]) * xframes
+                extra.append(
+                    {
+                        "config": cfg,
+                        "metric": f"rays/sec/chip fwd+grad, 512p {cfg}",
+                        "value": xrays / xbest,
+                        "unit": "rays/s",
+                        "ms_per_frame": xbest / xframes * 1e3,
+                    }
+                )
+                print(
+                    f"# extra {cfg}: {xbest / xframes * 1e3:.1f} ms/frame "
+                    f"fwd+grad ({xrays / xbest / 1e6:.2f} Mrays/s)",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # never let extras break the bench
+                extra.append({"config": cfg, "error": repr(e)[:200]})
+
+    record = {
+        "metric": (
+            "rays/sec/chip fwd+grad, 1080p Cornell"
+            if args.config == "cornell"
+            else f"rays/sec/chip fwd+grad, {height}p {args.config}"
+        ),
+        "value": rays_per_sec,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_sec / BASELINE_RAYS_PER_SEC,
+    }
+    if extra is not None:
+        record["extra"] = extra
+    print(json.dumps(record))
     # HBM peak + rough MFU (v5e peak: ~197 bf16 / ~49 f32 TFLOP/s).
     try:
         stats = device.memory_stats() or {}

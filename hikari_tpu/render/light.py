@@ -265,6 +265,37 @@ def direct_lit_pass(
     ratio = settings.upscale_ratio
     rh, rw = render_size
 
+    # Intra-channel profiling stop points (tools/profile_prefix.py):
+    # settings.stop_after = "<chan>:<stage>" truncates this channel right
+    # after <stage>, reducing everything computed so far into the outputs
+    # (sum-coupled, nothing DCE'd) so consecutive-prefix deltas attribute
+    # cost INSIDE the channel. stages: fetch, reproject, candidate, trace,
+    # restir.
+    _chan = "emissive" if emissive_lit else "direct"
+    _stop = settings.stop_after or ""
+
+    def _stopped(stage):
+        return _stop == f"{_chan}:{stage}"
+
+    def _trunc(*trees):
+        # Non-finite sentinels (inf max_distance on sun candidates) are
+        # zeroed so the coupling scalar stays finite.
+        def _safe(v):
+            vf = v.astype(jnp.float32)
+            vf = jnp.where(jnp.isfinite(vf), vf, 0.0)
+            return jnp.sum(jnp.clip(vf, -1e6, 1e6))
+
+        acc = sum(
+            _safe(v)
+            for t in trees
+            for v in jax.tree_util.tree_leaves(t)
+            if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+        )
+        out3 = jnp.zeros((rh, rw, 3)) + acc
+        var = jnp.zeros((rh, rw)) + acc
+        bgd = jnp.zeros((rh, rw), dtype=bool)
+        return out3, var, temporal, de_spatial_prev, bgd, temporal
+
     ys, xs = render_coords(render_size)
     uv = jnp.stack(
         [(xs.astype(jnp.float32) + 0.5) / rw, (ys.astype(jnp.float32) + 0.5) / rh],
@@ -279,6 +310,8 @@ def direct_lit_pass(
     normal = g.normal
 
     rand = channel_random(noise_bank, frame_number, render_size)
+    if _stopped("fetch"):
+        return _trunc(g, rand, duv)
     s = Sample(
         radiance=jnp.zeros((rh, rw, 4)),
         random=rand,
@@ -296,6 +329,27 @@ def direct_lit_pass(
     de_spatial_prev = scatter_invalidate(
         de_spatial_prev, previous_uv, ~reproj_ok, render_size
     )
+    if _stopped("reproject"):
+        return _trunc(g, rand, r, de_spatial_prev)
+    if _stopped("candidate") or _stopped("trace"):
+        # Profile the sampling machinery outside the validation lax.cond.
+        candidate, info = select_light_candidate(
+            scene, s.random, s.visible_position[..., :3], s.visible_normal,
+            g.instance, settings.solar_angle, sample_emissive=emissive_lit,
+            trace_method=settings.tracer,
+        )
+        if _stopped("candidate"):
+            return _trunc(g, r, candidate, info)
+        hit = trace_rays(
+            scene, position + normal * RAY_BIAS, candidate.direction,
+            max_distance=candidate.max_distance,
+            early_distance=candidate.min_distance,
+            exclude_instance=candidate.emissive_instance,
+            method=settings.tracer,
+            bruteforce_max_tris=settings.bruteforce_max_tris,
+            max_steps=settings.max_traversal_steps,
+        )
+        return _trunc(g, r, candidate, info, hit)
 
     validate_interval = (
         settings.emissive_validate_interval
@@ -462,6 +516,8 @@ def direct_lit_pass(
             de_spatial_prev,
         )
     r = r_sampled
+    if _stopped("restir"):
+        return _trunc(g, r, sp_after)
 
     # Finalize W, refresh visible surface, lifetime++ (light.wgsl:1216-1227).
     r = finalize_w(r, luminance(r.s.radiance[..., :3]))

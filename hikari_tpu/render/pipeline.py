@@ -191,7 +191,9 @@ def render_frame(
         "direct_lit",
     )(scene, state.direct_temporal, de_spatial)
 
-    if settings.stop_after == "direct":
+    if settings.stop_after == "direct" or (
+        settings.stop_after or ""
+    ).startswith("direct:"):
         return _truncate(gbuffer, albedo, direct_out, direct_var, de_spatial)
 
     if settings.emissive_lit and scene.num_emissives > 0:
@@ -231,7 +233,9 @@ def render_frame(
         em_var = jnp.zeros((rh, rw))
         em_temporal = state.emissive_temporal
 
-    if settings.stop_after == "emissive":
+    if settings.stop_after == "emissive" or (
+        settings.stop_after or ""
+    ).startswith("emissive:"):
         return _truncate(
             gbuffer, albedo, direct_out, em_out, em_var, de_spatial
         )

@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--grad", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--stages", default="",
+        help="comma-separated subset of stop_after points to time, in "
+        "order (use FULL for the untruncated pipeline); also accepts "
+        "intra-channel points like direct:candidate (see render/light.py "
+        "_channel_stop). Default: the full coarse list.",
+    )
     args = ap.parse_args()
 
     import jax
@@ -110,11 +117,16 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best / N, cdt
 
+    stages = STAGES
+    if args.stages:
+        stages = [
+            None if s == "FULL" else s for s in args.stages.split(",")
+        ]
     mode = "grad" if args.grad else "fwd"
     print(f"# {args.config} {width}x{height}, frames={N}, {mode}",
           file=sys.stderr)
     prev = 0.0
-    for stage in STAGES:
+    for stage in stages:
         dt, cdt = time_prefix(base.replace(stop_after=stage))
         name = stage or "FULL"
         print(
