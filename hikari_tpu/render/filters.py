@@ -252,28 +252,66 @@ def quad_phase_sampler(img, j, pad: int = 4):
     channel plane; ``tap(cy, cx)`` stacks all channels (2D images return
     2D)."""
     P = pad
+    assert P % 2 == 0
     two_d = img.ndim == 2
     chans = [img] if two_d else [img[..., c] for c in range(img.shape[-1])]
-    padded = [jnp.pad(c, ((P, P), (P, P)), mode="edge") for c in chans]
     h2, w2 = img.shape[0], img.shape[1]
     h, w = h2 // 2, w2 // 2
-    size = (2 * (h - 1) + 1, 2 * (w - 1) + 1)
-    import jax as _jax
+    evenb = j == 1  # smaa_tu4x sets prev_j = 1 on even frames
+
+    # Phase decomposition (the round-3 SMAA fix): ONE out-res edge pad +
+    # ONE de-interleave per channel, then every tap is a static
+    # contiguous slice of a quarter-res phase plane selected by frame
+    # parity. The old formulation (dynamic_slice at the traced phase j +
+    # a [::2, ::2] strided view PER TAP) measured ~6.5 ms/tap on v5e —
+    # ~75 taps made smaa_tu4x 724 ms of a 1320 ms forward frame
+    # (tools/bench_smaa_prims.py, tools/profile_prefix.py). Padding at
+    # out-res BEFORE de-interleaving keeps clamp-to-edge exact: the
+    # clamped out-res texel (whatever its parity) is what the edge pad
+    # replicated.
+    def phases(c2):
+        pd = jnp.pad(c2, ((P, P), (P, P)), mode="edge")
+        # (2(h+P), 2(w+P)) -> (2, 2, h+P, w+P): phase[py, px, y, x] =
+        # pd[2y + py, 2x + px]; one fused reshape+transpose per channel.
+        return pd.reshape(h + P, 2, w + P, 2).transpose(1, 3, 0, 2)
+
+    phased = [phases(c) for c in chans]
 
     def tap(cy: int, cx: int, ch: int | None = None):
         assert -P <= cy + 1 <= P and -P <= cx + 1 <= P
 
-        def one(c2):
-            win = _jax.lax.dynamic_slice(c2, (P + j + cy, P + j + cx), size)
-            return win[::2, ::2]
+        def one(t):
+            outs = []
+            for jj in (1, 0):  # (even-frame, odd-frame) static offsets
+                ay, ax = P + jj + cy, P + jj + cx
+                ay = min(max(ay, 0), 2 * P)  # dynamic_slice-clamp parity
+                ax = min(max(ax, 0), 2 * P)
+                py, px, sy, sx = ay & 1, ax & 1, ay >> 1, ax >> 1
+                outs.append(t[py, px, sy : sy + h, sx : sx + w])
+            return jnp.where(evenb, outs[0], outs[1])
 
         if ch is not None:
-            return one(padded[ch])
+            return one(phased[ch])
         if two_d:
-            return one(padded[0])
-        return jnp.stack([one(c2) for c2 in padded], axis=-1)
+            return one(phased[0])
+        return jnp.stack([one(t) for t in phased], axis=-1)
 
     return tap
+
+
+def interleave2x2(q00, q01, q10, q11):
+    """out[2y + a, 2x + b] = q_ab[y, x] — quad-slot interleave via
+    interior-padded adds (lax.pad interior=1), ~3.5x faster than four
+    strided ``.at[::2, ::2].set`` updates on TPU
+    (tools/bench_smaa_prims.py: 3.9 vs 13.5 ms for 4 slots @1080p)."""
+    import jax as _jax
+
+    z = jnp.zeros((), dtype=q00.dtype)
+
+    def put(q, a, b):
+        return _jax.lax.pad(q, z, [(a, 1 - a, 1), (b, 1 - b, 1)])
+
+    return put(q00, 0, 0) + put(q01, 0, 1) + put(q10, 1, 0) + put(q11, 1, 1)
 
 
 def parity_shift(img, even, dy0: int, dx0: int, dy1: int, dx1: int):

@@ -76,16 +76,23 @@ def render_gbuffer(
     # Motion vectors: previous world position via the instance's previous
     # model matrix (reference prepass.wgsl:55-58 + velocity :96).
     # prev_from_cur = prev_model @ inv(model) composed per instance (tiny),
-    # then gathered as 12 scalar planes — gathering whole 4x4 matrices
-    # per pixel would tile-pad (R,4,4) 32x on TPU (~4 GB at 1080p).
+    # then the 12 affine components fetched with ONE row gather — 12
+    # separate per-plane gathers cost ~6 ms each at 2M rows on v5e
+    # (~72 ms of the 129 ms prepass; gathers price per output row,
+    # tools/bench_gather.py). The (R, 12) gather output lane-pads 12->128
+    # (~1 GB transient at 1080p) but stays well inside the 14 GiB gate
+    # budget (tools/tpu_gate.py) and dies at the next reshape.
     safe_inst = jnp.maximum(hit.inst, 0)
     prev_from_cur = jnp.einsum(
         "iab,ibc->iac", scene.inst_prev_model, scene.inst_inv_model
     )  # (I, 4, 4) affine
     m = prev_from_cur.reshape(prev_from_cur.shape[0], 16)
+    from hikari_tpu.utils import mxu_table_gather
+
+    rows12 = mxu_table_gather(m[:, :12], safe_inst)  # (h, w, 12)
 
     def comp(k):
-        return m[:, k][safe_inst]  # (h, w)
+        return rows12[..., k]  # (h, w)
 
     x, y, z = world_pos[..., 0], world_pos[..., 1], world_pos[..., 2]
     prev_world = jnp.stack(

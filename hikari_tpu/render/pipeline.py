@@ -340,13 +340,16 @@ def render_frame(
 
     current = tonemapped
     prev_upscaled = state.prev_upscaled
+    _stop = settings.stop_after or ""
     if settings.upscale.mode == UpscaleMode.SMAA_TU4X:
         current = smaa_tu4x(
-            current, state.prev_upscaled, gbuffer, state.prev_gbuffer, frame_number
+            current, state.prev_upscaled, gbuffer, state.prev_gbuffer,
+            frame_number,
+            stop=_stop.split(":", 1)[1] if _stop.startswith("smaa:") else None,
         )
         prev_upscaled = current
 
-    if settings.stop_after == "smaa":
+    if settings.stop_after == "smaa" or _stop.startswith("smaa:"):
         return _truncate(gbuffer, albedo, current)
 
     prev_taa = state.prev_taa

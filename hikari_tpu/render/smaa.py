@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from hikari_tpu.render.filters import (
     cross,
+    interleave2x2,
     make_dyn_at,
     pack_window_gather,
     parity_shift,
@@ -82,9 +83,23 @@ def smaa_tu4x(
     gbuffer: GBuffer,
     prev_gbuffer: GBuffer,
     frame_number,
+    stop=None,  # intra-pass profiling stop point (tools/profile_prefix.py)
 ):
     h, w = render.shape[0], render.shape[1]
     oh, ow = 2 * h, 2 * w
+
+    def _trunc(*vals):
+        """Profiling truncation: reduce everything computed so far into a
+        dummy output (sum-coupled, clipped so sentinels stay finite)."""
+        import jax as _jax
+
+        acc = sum(
+            jnp.sum(jnp.clip(jnp.nan_to_num(v.astype(jnp.float32)), -1e6, 1e6))
+            for t in vals
+            for v in _jax.tree_util.tree_leaves(t)
+            if hasattr(v, "dtype")
+        )
+        return jnp.zeros((oh, ow, 4)) + acc
 
     even = (frame_number & 1) == 0
     prev_j = jnp.where(even, 1, 0)
@@ -99,6 +114,8 @@ def smaa_tu4x(
     vel_tap = quad_phase_sampler(gbuffer.velocity_uv, prev_j)
     inst_tap = quad_phase_sampler(gbuffer.instance.astype(jnp.float32), prev_j)
     vel_x, vel_y = _nearest_velocity_quad(pos_tap, vel_tap)
+    if stop == "velq":
+        return _trunc(cur_r, cur_g, cur_b, vel_x, vel_y)
 
     ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     pj = prev_j.astype(jnp.float32)
@@ -192,6 +209,10 @@ def smaa_tu4x(
     velocity_miss = (
         (vel_x - pvel_x) ** 2 + (vel_y - pvel_y) ** 2
     ) > 0.0001**2
+    if stop == "gather":
+        return _trunc(
+            prev_r, prev_g, prev_b, depth_miss, instance_miss, velocity_miss
+        )
 
     # Disocclusion -> nearest-depth-biased 2x2 YCoCg clip (smaa.wgsl:159-189).
     # Both the depth-distance taps (gbuffer at prev_out_uv + bias) and the
@@ -251,6 +272,8 @@ def smaa_tu4x(
     prev_r = jnp.where(do_clip, clip_r, prev_r)
     prev_g = jnp.where(do_clip, clip_g, prev_g)
     prev_b = jnp.where(do_clip, clip_b, prev_b)
+    if stop == "clip":
+        return _trunc(prev_r, prev_g, prev_b)
 
     # Subpixel-velocity differential remix (smaa.wgsl:186-195).
     subpix_x = fract(vel_x * (0.5 * ow))
@@ -275,6 +298,8 @@ def smaa_tu4x(
     prev_r = prev_r + (remix[0] - prev_r) * blend
     prev_g = prev_g + (remix[1] - prev_g) * blend
     prev_b = prev_b + (remix[2] - prev_b) * blend
+    if stop == "remix":
+        return _trunc(prev_r, prev_g, prev_b)
 
     ones = jnp.ones((h, w))
     cur_rgba = (cur_r, cur_g, cur_b, ones)
@@ -319,13 +344,10 @@ def smaa_tu4x(
 
     q10 = diff_blend(t_c, s_c, w_c, b_c)  # x slot: out[2y+1, 2x]
     q01 = diff_blend(n_c, b_c, t_c, e_c)  # y slot: out[2y, 2x+1]
+    if stop == "extrap":
+        return _trunc(q00, q01, q10, q11)
 
-    out_planes = []
-    for c in range(4):
-        o = jnp.zeros((oh, ow))
-        o = o.at[0::2, 0::2].set(q00[c])
-        o = o.at[0::2, 1::2].set(q01[c])
-        o = o.at[1::2, 0::2].set(q10[c])
-        o = o.at[1::2, 1::2].set(q11[c])
-        out_planes.append(o)
+    out_planes = [
+        interleave2x2(q00[c], q01[c], q10[c], q11[c]) for c in range(4)
+    ]
     return jnp.stack(out_planes, axis=-1)
