@@ -164,18 +164,33 @@ def gather_reservoir(r: Reservoir, y, x) -> Reservoir:
     width-independent — tools/bench_gather.py) instead of one gather per
     pytree leaf."""
     leaves, treedef = jax.tree_util.tree_flatten(r)
-    if any(leaf.dtype != jnp.float32 for leaf in leaves):
+    if any(leaf.dtype.itemsize != 4 for leaf in leaves):
         return jax.tree_util.tree_map(lambda a: gather_pixels(a, y, x), r)
+    # 32-bit non-float leaves (visible_instance i32) ride the same packed
+    # row gather via a bit-preserving f32 reinterpret — gathers only move
+    # rows, so the bits survive. The old any-non-f32 fallback cost ~10
+    # per-leaf gathers (~50 ms/channel at 518k rows on v5e) instead of
+    # one ~18 ms packed gather (tools/bench_smaa_prims.py --more).
+    dtypes = [leaf.dtype for leaf in leaves]
+    as_f32 = [
+        leaf
+        if leaf.dtype == jnp.float32
+        else jax.lax.bitcast_convert_type(leaf, jnp.float32)
+        for leaf in leaves
+    ]
     expanded = [
-        leaf[..., None] if leaf.ndim == y.ndim else leaf for leaf in leaves
+        leaf[..., None] if leaf.ndim == y.ndim else leaf for leaf in as_f32
     ]
     widths = [e.shape[-1] for e in expanded]
     rows = gather_pixels(jnp.concatenate(expanded, axis=-1), y, x)
     out, off = [], 0
-    for leaf, wdt in zip(leaves, widths):
+    for leaf, wdt, dt in zip(leaves, widths, dtypes):
         part = rows[..., off : off + wdt]
         off += wdt
-        out.append(part[..., 0] if leaf.ndim == y.ndim else part)
+        part = part[..., 0] if leaf.ndim == y.ndim else part
+        if dt != jnp.float32:
+            part = jax.lax.bitcast_convert_type(part, dt)
+        out.append(part)
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

@@ -265,6 +265,28 @@ def more(args):
 
     timed("gather 518k rows x25ch (reservoir)", resgather, table25, ky, kx)
 
+    # transpose (K, N) -> (N, K): plain XLA vs MXU identity-matmul
+    H, W = 1080, 1920
+    K = 128
+    big = jax.random.normal(key, (K, H * W))
+
+    def xpose(c, t):
+        tt = (t + c).T
+        return jnp.sum(tt[::4097])
+
+    timed("transpose (128, 2M) -> (2M, 128) XLA", xpose, big)
+
+    eye = jnp.eye(K, dtype=jnp.float32)
+
+    def xpose_mxu(c, t, ee):
+        tt = jax.lax.dot_general(
+            t + c, ee, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (N, K) = t^T @ I, exact for f32
+        return jnp.sum(tt[::4097])
+
+    timed("transpose (128, 2M) via MXU identity", xpose_mxu, big, eye)
+
 
 if __name__ == "__main__":
     import sys as _s
