@@ -66,7 +66,32 @@ def render_gbuffer(
         bruteforce_max_tris=settings.bruteforce_max_tris,
         max_steps=settings.max_traversal_steps,
     )
+
+    # Intra-pass profiling stops (tools/profile_prefix.py):
+    # stop_after = "gbuffer:trace" / "gbuffer:hitinfo" truncate here.
+    def _trunc(*trees):
+        acc = sum(
+            jnp.sum(jnp.clip(jnp.nan_to_num(v.astype(jnp.float32)), -1e6, 1e6))
+            for t in trees
+            for v in jax.tree_util.tree_leaves(t)
+            if hasattr(v, "dtype")
+        )
+        z3 = jnp.zeros((h, w, 3)) + acc
+        z2 = jnp.zeros((h, w)) + acc
+        return GBuffer(
+            position=jnp.concatenate([z3, z2[..., None]], axis=-1),
+            normal=z3,
+            depth_gradient=jnp.stack([z2, z2], axis=-1),
+            instance=jnp.zeros((h, w), jnp.int32),
+            material=jnp.zeros((h, w), jnp.int32),
+            velocity_uv=jnp.concatenate([z3, z2[..., None]], axis=-1),
+        )
+
+    if settings.stop_after == "gbuffer:trace":
+        return _trunc(hit)
     info = hit_info(scene, origin, direction, hit)
+    if settings.stop_after == "gbuffer:hitinfo":
+        return _trunc(hit, info)
 
     miss = hit.prim < 0
     world_pos = info.position[..., :3]

@@ -616,6 +616,33 @@ def indirect_lit_pass(
         sample_normal=jnp.zeros((rh, rw, 3)),
     )
 
+    # Intra-channel profiling stops (tools/profile_prefix.py), mirroring
+    # direct_lit_pass: indirect:fetch / :bounce / :nee / :restir.
+    _stop = settings.stop_after or ""
+
+    def _stopped(stage):
+        return _stop == f"indirect:{stage}"
+
+    def _trunc(*trees):
+        def _safe(v):
+            vf = v.astype(jnp.float32)
+            vf = jnp.where(jnp.isfinite(vf), vf, 0.0)
+            return jnp.sum(jnp.clip(vf, -1e6, 1e6))
+
+        acc = sum(
+            _safe(v)
+            for t in trees
+            for v in jax.tree_util.tree_leaves(t)
+            if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+        )
+        out3 = jnp.zeros((rh, rw, 3)) + acc
+        var = jnp.zeros((rh, rw)) + acc
+        bgd = jnp.zeros((rh, rw), dtype=bool)
+        return out3, var, temporal, spatial_prev, bgd, temporal
+
+    if _stopped("fetch"):
+        return _trunc(g, rand)
+
     trace_kw = dict(
         method=settings.tracer,
         bruteforce_max_tris=settings.bruteforce_max_tris,
@@ -640,6 +667,8 @@ def indirect_lit_pass(
         ray_origin = bounce_pos + bounce_normal * RAY_BIAS
         hit = trace_rays(scene, ray_origin, ray_dir, **trace_kw)
         info = hit_info(scene, ray_origin, ray_dir, hit)
+        if _stopped("bounce"):
+            return _trunc(g, hit, info)
 
         if n == 0:
             first_pdf = pdf
@@ -682,6 +711,8 @@ def indirect_lit_pass(
             **trace_kw,
         )
         cinfo2 = occlude_hit_info(nee_origin, candidate.direction, nee_hit, cinfo)
+        if _stopped("nee"):
+            return _trunc(g, hit, info, candidate, cinfo2)
         in_rad = input_radiance(
             scene,
             candidate.direction,
@@ -790,6 +821,8 @@ def indirect_lit_pass(
         0.0,
     )
     r = temporal_restir(r, s, w_new, settings.max_temporal_reuse_count)
+    if _stopped("restir"):
+        return _trunc(g, r, spatial_prev)
 
     out_radiance = shading(
         view,

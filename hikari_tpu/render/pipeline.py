@@ -163,7 +163,9 @@ def render_frame(
         "prepass",
     )(scene)
 
-    if settings.stop_after == "gbuffer":
+    if settings.stop_after == "gbuffer" or (
+        settings.stop_after or ""
+    ).startswith("gbuffer:"):
         return _truncate(gbuffer)
 
     # ---- LIGHT ----
@@ -212,6 +214,8 @@ def render_frame(
             ),
             "emissive_lit",
         )(scene, state.emissive_temporal, de_spatial)
+        if (settings.stop_after or "").startswith("emissive:"):
+            return _truncate(gbuffer, albedo, direct_out, em_out, em_var)
         if settings.emissive_spatial_reuse:
             em_out, em_var, de_spatial = ckpt(
                 lambda sc, temporal, sp, var: spatial_reuse_pass(
@@ -262,6 +266,10 @@ def render_frame(
             ),
             "indirect_lit",
         )(scene, state.indirect_temporal, indirect_spatial)
+        if (settings.stop_after or "").startswith("indirect:"):
+            # Intra-channel profiling stop: skip spatial reuse so the
+            # prefix delta attributes to the channel interior only.
+            return _truncate(gbuffer, albedo, direct_out, em_out, ind_out)
         if settings.indirect_spatial_reuse:
             ind_out, ind_var, indirect_spatial = ckpt(
                 lambda sc, temporal, sp, var: spatial_reuse_pass(
@@ -283,7 +291,9 @@ def render_frame(
         ind_var = jnp.zeros((rh, rw))
         ind_temporal = state.indirect_temporal
 
-    if settings.stop_after == "indirect":
+    if settings.stop_after == "indirect" or (
+        settings.stop_after or ""
+    ).startswith("indirect:"):
         return _truncate(
             gbuffer, albedo, direct_out, em_out, ind_out, ind_var,
             indirect_spatial,

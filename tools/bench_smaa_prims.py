@@ -291,11 +291,108 @@ def more(args):
 if __name__ == "__main__":
     import sys as _s
 
-    if "--more" in _s.argv:
+    if "--more" in _s.argv or "--patches" in _s.argv:
         ap = argparse.ArgumentParser()
         ap.add_argument("--n", type=int, default=8)
         ap.add_argument("--cpu", action="store_true")
         ap.add_argument("--more", action="store_true")
-        more(ap.parse_args())
+        ap.add_argument("--patches", action="store_true")
+        a = ap.parse_args()
+        if a.patches:
+            patches(a)
+        else:
+            more(a)
     else:
         main()
+
+
+def patches(args):
+    """--patches: im2col window-table builds vs the slice+concat pack."""
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    cache = os.path.expanduser("~/.cache/hikari_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import time
+
+    import jax.numpy as jnp
+
+    H, W = 1080, 1920
+    N = args.n
+    key = jax.random.PRNGKey(0)
+    img = jax.random.normal(key, (H, W))
+
+    def timed(name, fn, *ops):
+        @jax.jit
+        def run(c0, *ops):
+            def body(c, _):
+                return fn(c, *ops), None
+
+            cN, _ = jax.lax.scan(body, c0, None, length=N)
+            return cN
+
+        _ = float(run(jnp.float32(0.0), *ops))
+        best = float("inf")
+        for _i in range(3):
+            t0 = time.perf_counter()
+            _ = float(run(jnp.float32(0.0), *ops))
+            best = min(best, (time.perf_counter() - t0) / N)
+        print(f"{name:42s} {best * 1e3:9.2f} ms", file=sys.stderr)
+
+    # current formulation: 64 per-tap slices of a padded plane -> pack_rows
+    from hikari_tpu.render.filters import pack_rows
+
+    def slicepack(c, im):
+        pd = jnp.pad(im + c, ((3, 4), (3, 4)), mode="edge")
+        parts = [
+            pd[3 + dy : 3 + dy + H, 3 + dx : 3 + dx + W]
+            for dy in range(-3, 5)
+            for dx in range(-3, 5)
+        ]
+        t = pack_rows(parts)
+        return jnp.sum(t[::4097])
+
+    timed("64-tap window: slice+pack_rows", slicepack, img)
+
+    def patch64(c, im):
+        pd = jnp.pad(im + c, ((3, 4), (3, 4)), mode="edge")
+        p = jax.lax.conv_general_dilated_patches(
+            pd[None, :, :, None],
+            filter_shape=(8, 8),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (1, H, W, 64)
+        t = p.reshape(H * W, 64)
+        return jnp.sum(t[::4097])
+
+    timed("64-tap window: conv_patches", patch64, img)
+
+    # and a 16-tap 4x4 window for the narrower specs
+    def patch16(c, im):
+        pd = jnp.pad(im + c, ((1, 2), (1, 2)), mode="edge")
+        p = jax.lax.conv_general_dilated_patches(
+            pd[None, :, :, None],
+            filter_shape=(4, 4),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        t = p.reshape(H * W, 16)
+        return jnp.sum(t[::4097])
+
+    timed("16-tap window: conv_patches", patch16, img)
+
+    def slicepack16(c, im):
+        pd = jnp.pad(im + c, ((1, 2), (1, 2)), mode="edge")
+        parts = [
+            pd[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
+            for dy in range(-1, 3)
+            for dx in range(-1, 3)
+        ]
+        t = pack_rows(parts)
+        return jnp.sum(t[::4097])
+
+    timed("16-tap window: slice+pack_rows", slicepack16, img)
