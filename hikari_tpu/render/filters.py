@@ -80,9 +80,19 @@ def pack_rows(parts):
 
 def gather_packed_rows(packed_rows, w, ky, kx):
     """Fetch rows of a pack_rows table at integer pixel grids (ky, kx)
-    of the source (h, w) image -> (..., K)."""
+    of the source (h, w) image -> (..., K).
+
+    The gathered rows are checkpoint-named so the pass-level remat
+    policy (pipeline.py save_only_these_names) can SAVE them: the
+    backward sweep then skips re-running the pack build + gather
+    (~30-70 ms per image pass at 1080p) at the cost of keeping the
+    (rows, K) table slice alive (~0.25-1 GB per pass, inside the 14 GiB
+    gate budget)."""
+    from jax.ad_checkpoint import checkpoint_name
+
     flat = (ky * w + kx).reshape(-1)
     rows = packed_rows[flat]
+    rows = checkpoint_name(rows, "packed_rows")
     return rows.reshape(jnp.shape(ky) + (packed_rows.shape[-1],))
 
 

@@ -183,6 +183,11 @@ def gather_reservoir(r: Reservoir, y, x) -> Reservoir:
     ]
     widths = [e.shape[-1] for e in expanded]
     rows = gather_pixels(jnp.concatenate(expanded, axis=-1), y, x)
+    # Named so pass-level remat saves the reprojected rows instead of
+    # re-gathering in the backward sweep (see filters.gather_packed_rows).
+    from jax.ad_checkpoint import checkpoint_name
+
+    rows = checkpoint_name(rows, "packed_rows")
     out, off = [], 0
     for leaf, wdt, dt in zip(leaves, widths, dtypes):
         part = rows[..., off : off + wdt]

@@ -112,7 +112,9 @@ def render_frame(
     # intermediate (HBM residuals at 1080p otherwise exceed chip memory).
     # Hit records are tagged (trace/api.py) and stay saved so the backward
     # sweep never replays the ray search itself.
-    _policy = jax.checkpoint_policies.save_only_these_names("trace_hits")
+    _policy = jax.checkpoint_policies.save_only_these_names(
+        "trace_hits", "packed_rows"
+    )
 
     def ckpt(fn, name="pass"):
         fn2 = jax.checkpoint(fn, policy=_policy) if settings.remat else fn

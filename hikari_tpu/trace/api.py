@@ -256,7 +256,12 @@ def trace_rays(
 # ---------------------------------------------------------------------------
 
 
-RAY_CHUNK = 8192  # rays per brute-force outer chunk (bounds intermediates)
+# Rays per brute-force outer chunk (bounds the (rays x tri-block)
+# intermediates). Measured-neutral between 8k and 64k at 1080p (the
+# chunk-scan overhead hypothesis was wrong — the cost was the per-chunk
+# fancy-index row gathers, replaced by one-hot reduces below), so keep
+# the smaller intermediates.
+RAY_CHUNK = 8192
 
 
 def _trace_bruteforce(scene, o, d, maxd, excl, lo, hi):
@@ -303,12 +308,23 @@ def _trace_bruteforce(scene, o, d, maxd, excl, lo, hi):
             )
             t = jnp.where(valid, t, F32_MAX)
             blk_best = jnp.argmin(t, axis=1)  # (C,)
-            r = jnp.arange(C)
-            bt = t[r, blk_best]
+            # One-hot masked reduces instead of t[r, blk_best] fancy
+            # indexing: the three per-chunk row gathers totalled ~6M
+            # gather rows per full-res trace (~40-70 ms/frame at 1080p;
+            # gathers price per row, tools/bench_gather.py) where a
+            # VPU select+reduce is pure streaming. Exact: the one-hot
+            # picks the argmin element itself (x + 0 sums are exact).
+            onehot = (
+                jnp.arange(block, dtype=jnp.int32)[None, :]
+                == blk_best[:, None]
+            )
+            bt = jnp.sum(jnp.where(onehot, t, 0.0), axis=1)
+            bu = jnp.sum(jnp.where(onehot, u, 0.0), axis=1)
+            bv = jnp.sum(jnp.where(onehot, v, 0.0), axis=1)
             better = bt < best_t
-            best_prim = jnp.where(better, prim_ids[blk_best], best_prim)
-            best_u = jnp.where(better, u[r, blk_best], best_u)
-            best_v = jnp.where(better, v[r, blk_best], best_v)
+            best_prim = jnp.where(better, start + blk_best, best_prim)
+            best_u = jnp.where(better, bu, best_u)
+            best_v = jnp.where(better, bv, best_v)
             best_t = jnp.where(better, bt, best_t)
             return (best_t, best_prim, best_u, best_v), None
 

@@ -203,13 +203,22 @@ def trace_tiled(scene, o, d, maxd, early, excl, lo, hi):
             )
             tm = jnp.where(ok, t, F32_MAX)
             j = jnp.argmin(tm, axis=1)  # (SUB_R,)
-            rr = jnp.arange(SUB_R)
-            tj = tm[rr, j]
+            # One-hot masked reduces instead of tm[rr, j] fancy indexing
+            # (each is a row gather; gathers price per output row — the
+            # same fix as api.py _trace_bruteforce). Exact selects.
+            onehot = (
+                jnp.arange(tm.shape[1], dtype=jnp.int32)[None, :]
+                == j[:, None]
+            )
+            tj = jnp.sum(jnp.where(onehot, tm, 0.0), axis=1)
+            pj = jnp.sum(jnp.where(onehot, prim_id[None, :], 0.0), axis=1)
+            uj = jnp.sum(jnp.where(onehot, u, 0.0), axis=1)
+            vj = jnp.sum(jnp.where(onehot, v, 0.0), axis=1)
             better = tj < bt[sl]
             bt = bt.at[sl].set(jnp.where(better, tj, bt[sl]))
-            bp = bp.at[sl].set(jnp.where(better, prim_id[j], bp[sl]))
-            bu = bu.at[sl].set(jnp.where(better, u[rr, j], bu[sl]))
-            bv = bv.at[sl].set(jnp.where(better, v[rr, j], bv[sl]))
+            bp = bp.at[sl].set(jnp.where(better, pj, bp[sl]))
+            bu = bu.at[sl].set(jnp.where(better, uj, bu[sl]))
+            bv = bv.at[sl].set(jnp.where(better, vj, bv[sl]))
         return bt, bp, bu, bv
 
     def _tile_active(j, bt, bp):

@@ -288,24 +288,6 @@ def more(args):
     timed("transpose (128, 2M) via MXU identity", xpose_mxu, big, eye)
 
 
-if __name__ == "__main__":
-    import sys as _s
-
-    if "--more" in _s.argv or "--patches" in _s.argv:
-        ap = argparse.ArgumentParser()
-        ap.add_argument("--n", type=int, default=8)
-        ap.add_argument("--cpu", action="store_true")
-        ap.add_argument("--more", action="store_true")
-        ap.add_argument("--patches", action="store_true")
-        a = ap.parse_args()
-        if a.patches:
-            patches(a)
-        else:
-            more(a)
-    else:
-        main()
-
-
 def patches(args):
     """--patches: im2col window-table builds vs the slice+concat pack."""
     import jax
@@ -396,3 +378,21 @@ def patches(args):
         return jnp.sum(t[::4097])
 
     timed("16-tap window: slice+pack_rows", slicepack16, img)
+
+
+if __name__ == "__main__":
+    import sys as _s
+
+    if "--more" in _s.argv or "--patches" in _s.argv:
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--n", type=int, default=8)
+        ap.add_argument("--cpu", action="store_true")
+        ap.add_argument("--more", action="store_true")
+        ap.add_argument("--patches", action="store_true")
+        a = ap.parse_args()
+        if a.patches:
+            patches(a)
+        else:
+            more(a)
+    else:
+        main()
