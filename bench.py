@@ -208,12 +208,27 @@ def main():
     # compile cache is pre-warmed in-round so these are runtime-only.
     extra = None
     if args.config == "cornell" and not os.environ.get("HIKARI_BENCH_NO_EXTRA"):
+        import signal
+
+        class _ExtraTimeout(Exception):
+            pass
+
+        def _alarm(signum, frame):
+            raise _ExtraTimeout("extra config exceeded hard timeout")
+
         extra = []
         budget_t0 = time.perf_counter()
         for cfg in ("scene", "city"):
-            if time.perf_counter() - budget_t0 > 900.0:
+            remaining = 900.0 - (time.perf_counter() - budget_t0)
+            if remaining < 60.0:
                 extra.append({"config": cfg, "skipped": "time budget"})
                 continue
+            # A tunnel stall during compile/fetch is a HANG, not an
+            # Exception — bound each extra with signal.alarm so the
+            # already-measured cornell record always gets emitted
+            # (ADVICE r3: the north-star line printed only after extras).
+            old_handler = signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(int(min(remaining, 600.0)))
             try:
                 xframes = 8
                 xrun, xops, xsettings = build_bench_case(cfg, xframes)
@@ -240,8 +255,13 @@ def main():
                     f"fwd+grad ({xrays / xbest / 1e6:.2f} Mrays/s)",
                     file=sys.stderr,
                 )
+            except _ExtraTimeout:
+                extra.append({"config": cfg, "skipped": "hard timeout"})
             except Exception as e:  # never let extras break the bench
                 extra.append({"config": cfg, "error": repr(e)[:200]})
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old_handler)
 
     record = {
         "metric": (

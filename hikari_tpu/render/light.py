@@ -171,6 +171,11 @@ def gather_reservoir(r: Reservoir, y, x) -> Reservoir:
     # rows, so the bits survive. The old any-non-f32 fallback cost ~10
     # per-leaf gathers (~50 ms/channel at 518k rows on v5e) instead of
     # one ~18 ms packed gather (tools/bench_smaa_prims.py --more).
+    # NOTE: bitcast_convert_type has NO gradient rule — this path relies
+    # on the detached-reuse invariant (reservoir reprojection is under
+    # stop_gradient; see render/spatial.py gradient-policy notes). A
+    # future non-detached caller would hit a hard AD error here, which is
+    # the desired failure mode (loud, not silently biased).
     dtypes = [leaf.dtype for leaf in leaves]
     as_f32 = [
         leaf

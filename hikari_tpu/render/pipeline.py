@@ -216,8 +216,15 @@ def render_frame(
             ),
             "emissive_lit",
         )(scene, state.emissive_temporal, de_spatial)
+        # "emissive:*" = stop after the emissive temporal pass (the
+        # intra-pass stop is consumed inside direct_lit_pass), BEFORE
+        # spatial reuse; plain "emissive" stops after spatial (below).
+        # Same buffer set as the later truncation so profile deltas
+        # subtract cleanly.
         if (settings.stop_after or "").startswith("emissive:"):
-            return _truncate(gbuffer, albedo, direct_out, em_out, em_var)
+            return _truncate(
+                gbuffer, albedo, direct_out, em_out, em_var, de_spatial
+            )
         if settings.emissive_spatial_reuse:
             em_out, em_var, de_spatial = ckpt(
                 lambda sc, temporal, sp, var: spatial_reuse_pass(
@@ -239,9 +246,7 @@ def render_frame(
         em_var = jnp.zeros((rh, rw))
         em_temporal = state.emissive_temporal
 
-    if settings.stop_after == "emissive" or (
-        settings.stop_after or ""
-    ).startswith("emissive:"):
+    if settings.stop_after == "emissive":
         return _truncate(
             gbuffer, albedo, direct_out, em_out, em_var, de_spatial
         )

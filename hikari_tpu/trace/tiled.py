@@ -144,6 +144,11 @@ def trace_tiled(scene, o, d, maxd, early, excl, lo, hi):
     cmin, cmax, cvalid = _cluster_bounds(scene)
     packed = _packed_tris(scene)
     L = cmin.shape[0]
+    # prim_id rides f32 lanes through the one-hot winner selects (below),
+    # so ids are exact only while the padded primitive count stays under
+    # 2^24 (currently ≤1M after padding; scene/compile.py would need an
+    # i32 side channel before crossing 16.7M primitives).
+    assert L * CLUSTER < 2**24, "f32 prim_id exact only below 2^24 prims"
 
     ot = o.reshape(T, TILE_R, 3)
     dt = d.reshape(T, TILE_R, 3)
