@@ -90,6 +90,14 @@ def build_bench_case(config: str, frames: int):
         denoise=True,
         indirect_bounces=1,
     )
+    if os.environ.get("HIKARI_BENCH_REMAT", "0") == "0":
+        # No pass-level remat in the bench configs: with the round-4
+        # static-frame fast paths the full-residual fwd+grad scan fits in
+        # 10.2 GiB projected peak (tools/tpu_gate.py, budget 14), and the
+        # backward sweep drops from 328 to 222 ms/frame at 1080p by NOT
+        # recomputing each pass. Set HIKARI_BENCH_REMAT=1 to restore the
+        # remat policy (needed if future configs exceed the gate budget).
+        settings = settings.replace(remat=False)
     buffers = build_scene_buffers(scene)
     state = initial_state(settings)
     target = jnp.zeros(settings.output_size + (3,))

@@ -221,6 +221,83 @@ def pack_window_gather(specs, ky, kx):
     return at
 
 
+def identity_window_accessor(specs, base_dy: int = 0, base_dx: int = 0):
+    """pack_window_gather's accessor for the case where the gather base
+    (ky, kx) equals the pixel grid (plus a static offset): every tap is a
+    static edge-clamped shift — zero pack builds, zero gathers, and a
+    shift-only backward. Exact equivalence with pack_window_gather's
+    clamp semantics (per-tap clamp from the unclamped base) holds because
+    edge_shift clamps each tap independently."""
+
+    def at(si, dy, dx):
+        spec = specs[si]
+        img = spec[0]
+        chs = spec[2] if len(spec) > 2 else None
+        if img.ndim == 2:
+            chans = [img]
+        else:
+            chs = range(img.shape[-1]) if chs is None else chs
+            chans = [img[..., c] for c in chs]
+        return [edge_shift(c, base_dy + dy, base_dx + dx) for c in chans]
+
+    return at
+
+
+def reproject_mode(requested: str = "adaptive") -> str:
+    """Resolve the reprojection transport mode, honoring the debug env
+    overrides (HIKARI_FORCE_WINDOW_GATHER / _SHIFT — equivalence tests
+    and ceiling measurements)."""
+    import os
+
+    if os.environ.get("HIKARI_FORCE_WINDOW_GATHER"):
+        return "gather"
+    if os.environ.get("HIKARI_FORCE_WINDOW_SHIFT"):
+        return "shift"
+    return requested
+
+
+def cond_window_gather(
+    identity_pred, make_shift_at, make_gather_at, body, mode: str = "adaptive"
+):
+    """Run ``body(at)`` with the cheapest EXACT accessor for a
+    reprojected window fetch.
+
+    ``identity_pred`` (traced bool scalar) asserts that the per-pixel
+    gather base equals the static map ``make_shift_at`` implements —
+    true whenever the reprojection velocity is zero in integer texels
+    (static camera at steady state, the reference's own common case).
+    Then every tap is a static shift: no (H*W, K) table build (~40 ms at
+    1080p/128ch on v5e), no row gather (~6-12 ms), and the backward pass
+    is shifts instead of scatter-adds. Otherwise the packed wide-row
+    gather path (pack_window_gather) runs.
+
+    ``mode``: "shift"/"gather" pick a branch STATICALLY — used by the
+    pipeline's single frame-level lax.cond (render/pipeline.py), because
+    ~10 per-pass conds cost ~11 ms each in lost fusion (measured:
+    tools/bench_cond.py shows a bare cond is ~0.15 ms, but the full
+    adaptive pipeline ran 375 ms vs 268 ms with branches picked
+    statically). "adaptive" keeps a local lax.cond for standalone
+    callers (unit tests, direct pass use).
+
+    ``make_shift_at`` / ``make_gather_at`` are thunks so their setup ops
+    (phase decompositions, pack builds) trace INSIDE the branch."""
+    import jax as _jax
+
+    mode = reproject_mode(mode)
+    if mode == "gather":
+        return body(make_gather_at())
+    if mode == "shift":
+        # Caller guarantees identity_pred (the frame-level cond's
+        # predicate implies it; WRONG to force under motion).
+        return body(make_shift_at())
+    return _jax.lax.cond(
+        identity_pred,
+        lambda _: body(make_shift_at()),
+        lambda _: body(make_gather_at()),
+        0,
+    )
+
+
 def make_dyn_at(at, bit_y, bit_x):
     """Wrap a pack_window_gather accessor with per-axis offsets that are
     either static ints or (lo, hi) pairs selected by that axis's
@@ -285,7 +362,14 @@ def quad_phase_sampler(img, j, pad: int = 4):
         # pd[2y + py, 2x + px]; one fused reshape+transpose per channel.
         return pd.reshape(h + P, 2, w + P, 2).transpose(1, 3, 0, 2)
 
-    phased = [phases(c) for c in chans]
+    # optimization_barrier: force ONE materialization of the de-interleave.
+    # With many tap consumers (the SMAA zero-velocity accessor takes ~80
+    # taps), XLA otherwise re-fuses the pad+transpose into every slice —
+    # measured ~57 ms instead of ~3 ms for the window-fetch stage at
+    # 1080p (tools/bench_smaa_iso.py).
+    import jax as _jax
+
+    phased = _jax.lax.optimization_barrier([phases(c) for c in chans])
 
     def tap(cy: int, cx: int, ch: int | None = None):
         assert -P <= cy + 1 <= P and -P <= cx + 1 <= P

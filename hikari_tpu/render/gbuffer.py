@@ -111,6 +111,17 @@ def render_gbuffer(
     prev_from_cur = jnp.einsum(
         "iab,ibc->iac", scene.inst_prev_model, scene.inst_inv_model
     )  # (I, 4, 4) affine
+    # Snap static instances to the EXACT identity: prev_model @ inv(model)
+    # carries ~1e-7 fp dust from the numerical inverse, which makes
+    # velocity ~1e-7 instead of 0 — enough to flip floor() at the exact
+    # integer reprojection boundaries and keep the zero-velocity fast
+    # paths (filters.cond_window_gather, light._reproject_identity) from
+    # ever engaging. Bounded change: only matrices within 1e-6 of I snap.
+    eye = jnp.eye(4, dtype=prev_from_cur.dtype)
+    is_static = jnp.all(
+        jnp.abs(prev_from_cur - eye) < 1e-6, axis=(-2, -1), keepdims=True
+    )
+    prev_from_cur = jnp.where(is_static, eye, prev_from_cur)
     m = prev_from_cur.reshape(prev_from_cur.shape[0], 16)
     from hikari_tpu.utils import mxu_table_gather
 

@@ -204,29 +204,78 @@ def gather_reservoir(r: Reservoir, y, x) -> Reservoir:
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def load_previous_reservoir(grid: Reservoir, prev_uv, render_size) -> Reservoir:
+def _reproject_identity(y, x, render_size):
+    """True iff the integer reprojection map is the identity grid — the
+    zero-velocity steady state (static camera), where every reprojected
+    fetch/scatter collapses to elementwise ops. One fused reduce."""
+    ys, xs = render_coords(render_size)
+    return jnp.all(y == ys) & jnp.all(x == xs)
+
+
+def load_previous_reservoir(
+    grid: Reservoir, prev_uv, render_size, reproject: str = "adaptive"
+) -> Reservoir:
     """Reference ``load_previous_reservoir`` (light.wgsl:181-190): empty
-    outside [0,1]^2, nearest gather inside."""
+    outside [0,1]^2, nearest gather inside. When the reprojection is the
+    identity map (zero velocity — static camera steady state) the gather
+    (~18 ms per 25-ch reservoir grid at render res on v5e) and its
+    backward scatter-add are skipped entirely. ``reproject``: "shift"/
+    "gather" pick statically (the pipeline's frame-level cond decides
+    once per frame — see filters.cond_window_gather); "adaptive" keeps a
+    local lax.cond for standalone callers."""
+    from hikari_tpu.render.filters import reproject_mode
+
     in_bounds = jnp.all(jnp.abs(prev_uv - 0.5) < 0.5, axis=-1)
     y, x = uv_to_coords(prev_uv, render_size)
-    gathered = gather_reservoir(grid, y, x)
+    mode = reproject_mode(reproject)
+    if mode == "shift":
+        gathered = grid
+    elif mode == "gather":
+        gathered = gather_reservoir(grid, y, x)
+    else:
+        gathered = jax.lax.cond(
+            _reproject_identity(y, x, render_size),
+            lambda g: g,
+            lambda g: gather_reservoir(g, y, x),
+            grid,
+        )
     empty = Reservoir.zeros(in_bounds.shape)
     return gathered.select(in_bounds, empty)
 
 
-def scatter_invalidate(grid: Reservoir, prev_uv, mask, render_size) -> Reservoir:
+def scatter_invalidate(
+    grid: Reservoir, prev_uv, mask, render_size, reproject: str = "adaptive"
+) -> Reservoir:
     """Zero the reservoir at reprojected coords where ``mask`` — the
     reference's store_previous_spatial_reservoir of a reset reservoir
     (light.wgsl:1092-1095, :1199-1202). Collisions all write zeros."""
+    from hikari_tpu.render.filters import reproject_mode
+
     in_bounds = jnp.all(jnp.abs(prev_uv - 0.5) <= 0.5, axis=-1)
     m = mask & in_bounds
     y, x = uv_to_coords(prev_uv, render_size)
-    keep = jnp.ones(render_size)
-    keep = keep.at[y.reshape(-1), x.reshape(-1)].min(
-        jnp.where(m, 0.0, 1.0).reshape(-1)
+
+    def _identity(g):
+        # Identity map: each pixel written exactly once — the scatter-min
+        # (~7 ms per 518k rows on v5e) is an elementwise select.
+        return Reservoir.zeros(render_size).select(m, g)
+
+    def _scatter(g):
+        keep = jnp.ones(render_size)
+        keep = keep.at[y.reshape(-1), x.reshape(-1)].min(
+            jnp.where(m, 0.0, 1.0).reshape(-1)
+        )
+        invalidated = keep < 0.5
+        return Reservoir.zeros(render_size).select(invalidated, g)
+
+    mode = reproject_mode(reproject)
+    if mode == "shift":
+        return _identity(grid)
+    if mode == "gather":
+        return _scatter(grid)
+    return jax.lax.cond(
+        _reproject_identity(y, x, render_size), _identity, _scatter, grid
     )
-    invalidated = keep < 0.5
-    return Reservoir.zeros(render_size).select(invalidated, grid)
 
 
 def render_coords(render_size):
@@ -277,6 +326,7 @@ def direct_lit_pass(
     settings: RenderSettings,
     emissive_lit: bool,
     render_emissive: bool,
+    reproject: str = "adaptive",
 ):
     """One temporal lighting channel (reference ``direct_lit``,
     light.wgsl:1044-1261). ``emissive_lit`` selects the EMISSIVE_LIT
@@ -349,10 +399,10 @@ def direct_lit_pass(
 
     # Temporal reprojection + geometric validation.
     previous_uv = duv - g.velocity_uv[..., :2]
-    r = load_previous_reservoir(temporal, previous_uv, render_size)
+    r = load_previous_reservoir(temporal, previous_uv, render_size, reproject)
     r, reproj_ok = check_previous_reservoir(r, s)
     de_spatial_prev = scatter_invalidate(
-        de_spatial_prev, previous_uv, ~reproj_ok, render_size
+        de_spatial_prev, previous_uv, ~reproj_ok, render_size, reproject
     )
     if _stopped("reproject"):
         return _trunc(g, rand, r, de_spatial_prev)
@@ -499,7 +549,9 @@ def direct_lit_pass(
         )
         lum_miss = (lum_ratio > 1.25) | (lum_ratio < 0.8)
 
-        sp_prev2 = scatter_invalidate(sp_prev, previous_uv, lum_miss, render_size)
+        sp_prev2 = scatter_invalidate(
+            sp_prev, previous_uv, lum_miss, render_size, reproject
+        )
 
         s_new = s_val.select(high, replace(s, random=r1.s.random))
         from hikari_tpu.diff import stable_div
@@ -594,6 +646,7 @@ def indirect_lit_pass(
     noise_bank,
     frame_number,
     settings: RenderSettings,
+    reproject: str = "adaptive",
 ):
     """Indirect diffuse channel with 1..N cosine-hemisphere bounces and NEE
     at each bounce (reference ``indirect_lit_ambient``)."""
@@ -807,10 +860,10 @@ def indirect_lit_pass(
     # Temporal ReSTIR (light.wgsl:1452-1471) — target pdf is the luminance
     # of the *shaded* radiance at the primary surface.
     previous_uv = duv - g.velocity_uv[..., :2]
-    r = load_previous_reservoir(temporal, previous_uv, render_size)
+    r = load_previous_reservoir(temporal, previous_uv, render_size, reproject)
     r, reproj_ok = check_previous_reservoir(r, s)
     spatial_prev = scatter_invalidate(
-        spatial_prev, previous_uv, ~reproj_ok, render_size
+        spatial_prev, previous_uv, ~reproj_ok, render_size, reproject
     )
 
     surface = retrieve_surface(scene, g.material, g.velocity_uv[..., 2:4])

@@ -170,6 +170,50 @@ def render_frame(
     ).startswith("gbuffer:"):
         return _truncate(gbuffer)
 
+    # ---- ONE frame-level reprojection dispatch ----
+    # When the G-buffer velocity field is exactly zero (static camera +
+    # static scene at steady state — the realtime common case, and
+    # bitwise reachable since gbuffer.py snaps static instance transforms
+    # to the exact identity), EVERY reprojected fetch in the frame is the
+    # identity map: reservoir reprojection/invalidation, the TAA window
+    # and the SMAA quad-phase window all collapse to static shifts. One
+    # lax.cond here picks between two statically specialized frame
+    # remainders ("shift" vs "gather"); per-pass conds measured ~11 ms
+    # each in lost fusion (~10 conds/frame), while the bodies themselves
+    # cost ~0.15 ms under a bare cond — tools/bench_cond.py,
+    # docs/ROOFLINE.md round 4.
+    from hikari_tpu.render.filters import reproject_mode as _rmode
+
+    _req = _rmode("adaptive")
+    if _req != "adaptive":
+        return _frame_rest(
+            _req, scene, camera, state, settings, noise_bank, denoise_fn,
+            gbuffer, ckpt, _truncate,
+        )
+    static_frame = jnp.all(gbuffer.velocity_uv[..., :2] == 0.0)
+    return jax.lax.cond(
+        static_frame,
+        lambda _: _frame_rest(
+            "shift", scene, camera, state, settings, noise_bank, denoise_fn,
+            gbuffer, ckpt, _truncate,
+        ),
+        lambda _: _frame_rest(
+            "gather", scene, camera, state, settings, noise_bank, denoise_fn,
+            gbuffer, ckpt, _truncate,
+        ),
+        0,
+    )
+
+
+def _frame_rest(
+    reproject, scene, camera, state, settings, noise_bank, denoise_fn,
+    gbuffer, ckpt, _truncate,
+):
+    """Everything after the G-buffer, with the reprojection transport
+    chosen STATICALLY ("shift" | "gather") — the two branches of
+    render_frame's single frame-level lax.cond."""
+    frame_number = state.frame_number
+
     # ---- LIGHT ----
     albedo = ckpt(
         lambda sc: full_screen_albedo(sc, camera, gbuffer), "albedo"
@@ -191,6 +235,7 @@ def render_frame(
             settings,
             emissive_lit=False,
             render_emissive=True,
+            reproject=reproject,
         ),
         "direct_lit",
     )(scene, state.direct_temporal, de_spatial)
@@ -237,6 +282,7 @@ def render_frame(
                     frame_number,
                     settings,
                     emissive_lit=True,
+                    reproject=reproject,
                 ),
                 "emissive_spatial",
             )(scene, em_temporal, de_spatial, em_var)
@@ -270,6 +316,7 @@ def render_frame(
                 noise_bank,
                 frame_number,
                 settings,
+                reproject=reproject,
             ),
             "indirect_lit",
         )(scene, state.indirect_temporal, indirect_spatial)
@@ -289,6 +336,7 @@ def render_frame(
                     frame_number,
                     settings,
                     emissive_lit=False,
+                    reproject=reproject,
                 ),
                 "indirect_spatial",
             )(scene, ind_temporal, indirect_spatial, ind_var)
@@ -345,12 +393,20 @@ def render_frame(
     def with_alpha(rgb):
         return jnp.concatenate([rgb, fg], axis=-1)
 
+    # Post-chain gradient firewalls: without them, non-finite/overflowing
+    # cotangents born in the SMAA/TAA backward (e.g. the extrapolate
+    # blend's 1/(fx+fy) weights) flow unfiltered down to the denoise pass
+    # boundary and get COUNTED (and clipped) there, mis-attributing the
+    # engagement (round-3 "denoise 4.8%" — tools/clip_engagement.py).
+    from hikari_tpu.diff import clip_gradient as _cg
+
     tonemapped = tone_mapping(
         with_alpha(direct_d),
         with_alpha(em_d) * fg,
         with_alpha(ind_d) * fg,
         settings.clear_color,
     )
+    tonemapped = _cg(tonemapped, 1e4, "tonemap")
 
     if settings.stop_after == "tonemap":
         return _truncate(gbuffer, albedo, tonemapped)
@@ -363,7 +419,9 @@ def render_frame(
             current, state.prev_upscaled, gbuffer, state.prev_gbuffer,
             frame_number,
             stop=_stop.split(":", 1)[1] if _stop.startswith("smaa:") else None,
+            reproject=reproject,
         )
+        current = _cg(current, 1e4, "smaa")
         prev_upscaled = current
 
     if settings.stop_after == "smaa" or _stop.startswith("smaa:"):
@@ -378,7 +436,9 @@ def render_frame(
             state.prev_gbuffer,
             settings.clear_color,
             settings.upscale_ratio,
+            reproject=reproject,
         )
+        current = _cg(current, 1e4, "taa")
         prev_taa = current
 
     if settings.stop_after == "taa":

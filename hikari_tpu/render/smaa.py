@@ -20,6 +20,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from hikari_tpu.render.filters import (
+    cond_window_gather,
     cross,
     interleave2x2,
     make_dyn_at,
@@ -84,6 +85,7 @@ def smaa_tu4x(
     prev_gbuffer: GBuffer,
     frame_number,
     stop=None,  # intra-pass profiling stop point (tools/profile_prefix.py)
+    reproject: str = "adaptive",
 ):
     h, w = render.shape[0], render.shape[1]
     oh, ow = 2 * h, 2 * w
@@ -137,8 +139,12 @@ def smaa_tu4x(
     # windows around the shared base floor(sp - 0.5) and gather once
     # (pack_window_gather) — 12 narrow gathers -> 1 wide one. Channels:
     # depth 64 + instance 16 + prev rgb 12 + velocity 8 = 100.
-    spx = prev_ux * ow
-    spy = prev_uy * oh
+    # (2x + j + 0.5) - vel*size, NOT prev_ux*size: the uv/size roundtrip
+    # loses bits exactly on the floor boundaries the base sits on, which
+    # would keep the zero-velocity fast path (cond_window_gather) from
+    # engaging (see taa.py).
+    spx = (2.0 * xs.astype(jnp.float32) + pj + 0.5) - vel_x * ow
+    spy = (2.0 * ys.astype(jnp.float32) + pj + 0.5) - vel_y * oh
     tpx = jnp.floor(spx - 0.5)
     tpy = jnp.floor(spy - 0.5)
     frx = spx - 0.5 - tpx
@@ -149,205 +155,236 @@ def smaa_tu4x(
     bit_y = fry >= 0.5
 
     DPTH, INST, PREV, PVEL = 0, 1, 2, 3
-    at = pack_window_gather(
-        [
-            (prev_gbuffer.position, cross(range(-3, 5), range(-3, 5)), (3,)),
-            (
-                prev_gbuffer.instance.astype(jnp.float32),
-                cross((-2, 0, 1, 3), (-2, 0, 1, 3)),
-            ),
-            (prev_upscaled, cross((0, 1), (0, 1)), (0, 1, 2)),
-            (prev_gbuffer.velocity_uv, cross((0, 1), (0, 1)), (0, 1)),
-        ],
-        ky,
-        kx,
-    )
-    dyn_at = make_dyn_at(at, bit_y, bit_x)
-
-    prev_r, prev_g, prev_b = dyn_at(PREV, (0, 1), (0, 1))
-
-    def gather_base(o):
-        """textureGather corner base offset for uv bias o: floor(frac + o)
-        — static for o=0, a half-texel bit select for o=±2.5."""
-        if o == 0.0:
-            return 0
-        return (2, 3) if o > 0 else (-3, -2)
-
-    def nearest_off(o):
-        """nearest-sample offset for uv bias o: floor(sp + o) - k."""
-        if o == 0.0:
-            return (0, 1)
-        return 3 if o > 0 else -2
-
-    depth_miss = cur_depth == 0.0
-    instance_miss = jnp.zeros((h, w), dtype=bool)
-    biases = [(0.0, 0.0), (2.5, 2.5), (-2.5, 2.5), (2.5, -2.5), (-2.5, -2.5)]
-    for bx, by in biases:
-        gy, gx = gather_base(by), gather_base(bx)
-
-        def corner(dy, dx):
-            oy = gy + dy if isinstance(gy, int) else (gy[0] + dy, gy[1] + dy)
-            ox = gx + dx if isinstance(gx, int) else (gx[0] + dx, gx[1] + dx)
-            return dyn_at(DPTH, oy, ox)[0]
-
-        miss_here = None
-        for dy in (0, 1):
-            for dx in (0, 1):
-                pd = corner(dy, dx)
-                ratio = jnp.where(
-                    pd == 0.0, 1.0, cur_depth / jnp.where(pd == 0.0, 1.0, pd)
-                )
-                m = ratio < 0.95
-                miss_here = m if miss_here is None else (miss_here | m)
-        depth_miss = depth_miss | miss_here
-        prev_instance = dyn_at(INST, nearest_off(by), nearest_off(bx))[0]
-        instance_miss = instance_miss | (
-            miss_here & (jnp.abs(prev_instance - cur_instance) > 1.0)
-        )
-
-    pvel_x, pvel_y = dyn_at(PVEL, (0, 1), (0, 1))
-    velocity_miss = (
-        (vel_x - pvel_x) ** 2 + (vel_y - pvel_y) ** 2
-    ) > 0.0001**2
-    if stop == "gather":
-        return _trunc(
-            prev_r, prev_g, prev_b, depth_miss, instance_miss, velocity_miss
-        )
-
-    # Disocclusion -> nearest-depth-biased 2x2 YCoCg clip (smaa.wgsl:159-189).
-    # Both the depth-distance taps (gbuffer at prev_out_uv + bias) and the
-    # render-texture gather at the winning bias are static-affine: the
-    # gather corners are strided taps whose offset depends only on frame
-    # parity — zero gathers, a 5-way select over precomputed corner quads.
-    # floor shift of the out-res gather base per bias magnitude:
-    _BSHIFT = {0.0: 0, 2.5: 2, -2.5: -3}
-    # floor shift of the render-res gather base per (j, bias):
-    _RSHIFT1 = {0.0: 0, 2.5: 1, -2.5: -1}  # even frames (j = 1)
-    _RSHIFT0 = {0.0: -1, 2.5: 1, -2.5: -2}  # odd frames (j = 0)
-    min_ds = jnp.full((h, w), 10.0)
-    # quad[i] = (r, g, b) planes of 2x2 corner i at the winning bias
-    quad = [None] * 4
-    for bx, by in biases:
-        cy, cx = _BSHIFT[by], _BSHIFT[bx]
-        dds = None
-        for dy in (0, 1):
-            for dx in (0, 1):
-                d = cur_depth - pos_tap(cy + dy, cx + dx, 3)
-                dds = d * d if dds is None else dds + d * d
-        dds = jnp.sqrt(dds)
-        take = dds < min_ds
-        for i, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-            corner_rgb = tuple(
-                parity_shift(
-                    p,
-                    even,
-                    _RSHIFT1[by] + dy, _RSHIFT1[bx] + dx,
-                    _RSHIFT0[by] + dy, _RSHIFT0[bx] + dx,
-                )
-                for p in (cur_r, cur_g, cur_b)
-            )
-            quad[i] = corner_rgb if quad[i] is None else tuple(
-                jnp.where(take, q, o) for q, o in zip(corner_rgb, quad[i])
-            )
-        min_ds = jnp.minimum(min_ds, dds)
-
-    m1 = [jnp.zeros((h, w))] * 3
-    m2 = [jnp.zeros((h, w))] * 3
-    for corner_rgb in quad:
-        t = rgb_to_ycocg_planes(*corner_rgb)
-        m1 = [a + p for a, p in zip(m1, t)]
-        m2 = [b + p * p for b, p in zip(m2, t)]
-    mean = [a / 4.0 for a in m1]
-    var = [
-        jnp.sqrt(jnp.maximum(b / 4.0 - m * m, 0.0)) for b, m in zip(m2, mean)
+    specs = [
+        (prev_gbuffer.position, cross(range(-3, 5), range(-3, 5)), (3,)),
+        (
+            prev_gbuffer.instance.astype(jnp.float32),
+            cross((-2, 0, 1, 3), (-2, 0, 1, 3)),
+        ),
+        (prev_upscaled, cross((0, 1), (0, 1)), (0, 1, 2)),
+        (prev_gbuffer.velocity_uv, cross((0, 1), (0, 1)), (0, 1)),
     ]
-    prev_y = rgb_to_ycocg_planes(prev_r, prev_g, prev_b)
-    clipped = clip_aabb_planes(
-        prev_y,
-        [m - v for m, v in zip(mean, var)],
-        [m + v for m, v in zip(mean, var)],
+    # Zero-velocity steady state: the reprojected base equals the
+    # quad-phase map (2y + j, 2x + j), so every previous-frame tap is a
+    # phase-decomposed strided slice (quad_phase_sampler) — the pack
+    # build + 100-ch gather (+ backward scatter-adds) are skipped.
+    # See filters.cond_window_gather.
+    identity = jnp.all(ky == 2 * ys + prev_j) & jnp.all(kx == 2 * xs + prev_j)
+
+    def _shift_at():
+        samplers = {}
+
+        def at(si, dy, dx):
+            img = specs[si][0]
+            chs = specs[si][2] if len(specs[si]) > 2 else None
+            if si not in samplers:
+                samplers[si] = quad_phase_sampler(img, prev_j, pad=6)
+            tap = samplers[si]
+            if img.ndim == 2:
+                return [tap(dy, dx, 0)]
+            chs = range(img.shape[-1]) if chs is None else chs
+            return [tap(dy, dx, c) for c in chs]
+
+        return at
+
+    def _smaa_body(at):
+        return _consume(at)
+
+    def _consume(at):
+        dyn_at = make_dyn_at(at, bit_y, bit_x)
+
+        prev_r, prev_g, prev_b = dyn_at(PREV, (0, 1), (0, 1))
+
+        def gather_base(o):
+            """textureGather corner base offset for uv bias o: floor(frac + o)
+            — static for o=0, a half-texel bit select for o=±2.5."""
+            if o == 0.0:
+                return 0
+            return (2, 3) if o > 0 else (-3, -2)
+
+        def nearest_off(o):
+            """nearest-sample offset for uv bias o: floor(sp + o) - k."""
+            if o == 0.0:
+                return (0, 1)
+            return 3 if o > 0 else -2
+
+        depth_miss = cur_depth == 0.0
+        instance_miss = jnp.zeros((h, w), dtype=bool)
+        biases = [(0.0, 0.0), (2.5, 2.5), (-2.5, 2.5), (2.5, -2.5), (-2.5, -2.5)]
+        for bx, by in biases:
+            gy, gx = gather_base(by), gather_base(bx)
+
+            def corner(dy, dx):
+                oy = gy + dy if isinstance(gy, int) else (gy[0] + dy, gy[1] + dy)
+                ox = gx + dx if isinstance(gx, int) else (gx[0] + dx, gx[1] + dx)
+                return dyn_at(DPTH, oy, ox)[0]
+
+            miss_here = None
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    pd = corner(dy, dx)
+                    ratio = jnp.where(
+                        pd == 0.0, 1.0, cur_depth / jnp.where(pd == 0.0, 1.0, pd)
+                    )
+                    m = ratio < 0.95
+                    miss_here = m if miss_here is None else (miss_here | m)
+            depth_miss = depth_miss | miss_here
+            prev_instance = dyn_at(INST, nearest_off(by), nearest_off(bx))[0]
+            instance_miss = instance_miss | (
+                miss_here & (jnp.abs(prev_instance - cur_instance) > 1.0)
+            )
+
+        pvel_x, pvel_y = dyn_at(PVEL, (0, 1), (0, 1))
+        velocity_miss = (
+            (vel_x - pvel_x) ** 2 + (vel_y - pvel_y) ** 2
+        ) > 0.0001**2
+        if stop == "gather":
+            return _trunc(
+                prev_r, prev_g, prev_b, depth_miss, instance_miss, velocity_miss
+            )
+
+        # Disocclusion -> nearest-depth-biased 2x2 YCoCg clip (smaa.wgsl:159-189).
+        # Both the depth-distance taps (gbuffer at prev_out_uv + bias) and the
+        # render-texture gather at the winning bias are static-affine: the
+        # gather corners are strided taps whose offset depends only on frame
+        # parity — zero gathers, a 5-way select over precomputed corner quads.
+        # floor shift of the out-res gather base per bias magnitude:
+        _BSHIFT = {0.0: 0, 2.5: 2, -2.5: -3}
+        # floor shift of the render-res gather base per (j, bias):
+        _RSHIFT1 = {0.0: 0, 2.5: 1, -2.5: -1}  # even frames (j = 1)
+        _RSHIFT0 = {0.0: -1, 2.5: 1, -2.5: -2}  # odd frames (j = 0)
+        min_ds = jnp.full((h, w), 10.0)
+        # quad[i] = (r, g, b) planes of 2x2 corner i at the winning bias
+        quad = [None] * 4
+        for bx, by in biases:
+            cy, cx = _BSHIFT[by], _BSHIFT[bx]
+            dds = None
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    d = cur_depth - pos_tap(cy + dy, cx + dx, 3)
+                    dds = d * d if dds is None else dds + d * d
+            dds = jnp.sqrt(dds)
+            take = dds < min_ds
+            for i, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+                corner_rgb = tuple(
+                    parity_shift(
+                        p,
+                        even,
+                        _RSHIFT1[by] + dy, _RSHIFT1[bx] + dx,
+                        _RSHIFT0[by] + dy, _RSHIFT0[bx] + dx,
+                    )
+                    for p in (cur_r, cur_g, cur_b)
+                )
+                quad[i] = corner_rgb if quad[i] is None else tuple(
+                    jnp.where(take, q, o) for q, o in zip(corner_rgb, quad[i])
+                )
+            min_ds = jnp.minimum(min_ds, dds)
+
+        m1 = [jnp.zeros((h, w))] * 3
+        m2 = [jnp.zeros((h, w))] * 3
+        for corner_rgb in quad:
+            t = rgb_to_ycocg_planes(*corner_rgb)
+            m1 = [a + p for a, p in zip(m1, t)]
+            m2 = [b + p * p for b, p in zip(m2, t)]
+        mean = [a / 4.0 for a in m1]
+        var = [
+            jnp.sqrt(jnp.maximum(b / 4.0 - m * m, 0.0)) for b, m in zip(m2, mean)
+        ]
+        prev_y = rgb_to_ycocg_planes(prev_r, prev_g, prev_b)
+        clipped = clip_aabb_planes(
+            prev_y,
+            [m - v for m, v in zip(mean, var)],
+            [m + v for m, v in zip(mean, var)],
+        )
+        clip_r, clip_g, clip_b = ycocg_to_rgb_planes(*clipped)
+        do_clip = boundary_miss | ((depth_miss | instance_miss) & velocity_miss)
+        prev_r = jnp.where(do_clip, clip_r, prev_r)
+        prev_g = jnp.where(do_clip, clip_g, prev_g)
+        prev_b = jnp.where(do_clip, clip_b, prev_b)
+        if stop == "clip":
+            return _trunc(prev_r, prev_g, prev_b)
+
+        # Subpixel-velocity differential remix (smaa.wgsl:186-195).
+        subpix_x = fract(vel_x * (0.5 * ow))
+        subpix_y = fract(vel_y * (0.5 * oh))
+        blend = jnp.clip(
+            -jnp.cos(jnp.maximum(subpix_x, subpix_y) * TAU), 0.0, 1.0
+        )
+        # Bilinear at prev_out_uv on the render texture: parity-static corners
+        # (even j=1: base 0, fx 0.25; odd j=0: base -1, fx 0.75), per-tap
+        # edge clamp — zero gathers.
+        fxy = jnp.where(even, 0.25, 0.75)
+        remix = []
+        for p in (cur_r, cur_g, cur_b):
+            c00 = parity_shift(p, even, 0, 0, -1, -1)
+            c10 = parity_shift(p, even, 0, 1, -1, 0)
+            c01 = parity_shift(p, even, 1, 0, 0, -1)
+            c11 = parity_shift(p, even, 1, 1, 0, 0)
+            remix.append(
+                (c00 * (1 - fxy) + c10 * fxy) * (1 - fxy)
+                + (c01 * (1 - fxy) + c11 * fxy) * fxy
+            )
+        prev_r = prev_r + (remix[0] - prev_r) * blend
+        prev_g = prev_g + (remix[1] - prev_g) * blend
+        prev_b = prev_b + (remix[2] - prev_b) * blend
+        if stop == "remix":
+            return _trunc(prev_r, prev_g, prev_b)
+
+        ones = jnp.ones((h, w))
+        cur_rgba = (cur_r, cur_g, cur_b, ones)
+        prev_rgba = (prev_r, prev_g, prev_b, ones)
+
+        # Quad planes: slot (j, j) gets current on even frames etc.
+        q00 = tuple(jnp.where(even, c, p) for c, p in zip(cur_rgba, prev_rgba))
+        q11 = tuple(jnp.where(even, p, c) for c, p in zip(cur_rgba, prev_rgba))
+
+        # ------ extrapolate pass (smaa.wgsl:201-271) ------
+        def shift(planes, dy, dx):
+            return tuple(
+                jnp.roll(jnp.roll(p, -dy, axis=0), -dx, axis=1) for p in planes
+            )
+
+        t_c = q00
+        b_c = q11
+        n_c = shift(q11, -1, 0)
+        e_c = shift(q00, 0, 1)
+        s_c = shift(q00, 1, 0)
+        w_c = shift(q11, 0, -1)
+
+        def lum_absdiff(a, b):
+            return _lum_planes(
+                jnp.abs(a[0] - b[0]), jnp.abs(a[1] - b[1]), jnp.abs(a[2] - b[2])
+            )
+
+        dh0 = lum_absdiff(w_c, b_c)
+        dh1 = lum_absdiff(t_c, e_c)
+        dv0 = lum_absdiff(t_c, s_c)
+        dv1 = lum_absdiff(n_c, b_c)
+        factor_x = jnp.maximum(dv0, 0.001) * jnp.maximum(dv1, 0.001)
+        factor_y = jnp.maximum(dh0, 0.001) * jnp.maximum(dh1, 0.001)
+        factor_z = 1.0 / (factor_x + factor_y)
+
+        def diff_blend(t_, b_, l_, r_):
+            return tuple(
+                (0.5 * factor_z)
+                * ((lp + rp) * factor_x + (tp + bp) * factor_y)
+                for tp, bp, lp, rp in zip(t_, b_, l_, r_)
+            )
+
+        q10 = diff_blend(t_c, s_c, w_c, b_c)  # x slot: out[2y+1, 2x]
+        q01 = diff_blend(n_c, b_c, t_c, e_c)  # y slot: out[2y, 2x+1]
+        if stop == "extrap":
+            return _trunc(q00, q01, q10, q11)
+
+        out_planes = [
+            interleave2x2(q00[c], q01[c], q10[c], q11[c]) for c in range(4)
+        ]
+        return jnp.stack(out_planes, axis=-1)
+
+    return cond_window_gather(
+        identity,
+        _shift_at,
+        lambda: pack_window_gather(specs, ky, kx),
+        _smaa_body,
+        mode=reproject,
     )
-    clip_r, clip_g, clip_b = ycocg_to_rgb_planes(*clipped)
-    do_clip = boundary_miss | ((depth_miss | instance_miss) & velocity_miss)
-    prev_r = jnp.where(do_clip, clip_r, prev_r)
-    prev_g = jnp.where(do_clip, clip_g, prev_g)
-    prev_b = jnp.where(do_clip, clip_b, prev_b)
-    if stop == "clip":
-        return _trunc(prev_r, prev_g, prev_b)
-
-    # Subpixel-velocity differential remix (smaa.wgsl:186-195).
-    subpix_x = fract(vel_x * (0.5 * ow))
-    subpix_y = fract(vel_y * (0.5 * oh))
-    blend = jnp.clip(
-        -jnp.cos(jnp.maximum(subpix_x, subpix_y) * TAU), 0.0, 1.0
-    )
-    # Bilinear at prev_out_uv on the render texture: parity-static corners
-    # (even j=1: base 0, fx 0.25; odd j=0: base -1, fx 0.75), per-tap
-    # edge clamp — zero gathers.
-    fxy = jnp.where(even, 0.25, 0.75)
-    remix = []
-    for p in (cur_r, cur_g, cur_b):
-        c00 = parity_shift(p, even, 0, 0, -1, -1)
-        c10 = parity_shift(p, even, 0, 1, -1, 0)
-        c01 = parity_shift(p, even, 1, 0, 0, -1)
-        c11 = parity_shift(p, even, 1, 1, 0, 0)
-        remix.append(
-            (c00 * (1 - fxy) + c10 * fxy) * (1 - fxy)
-            + (c01 * (1 - fxy) + c11 * fxy) * fxy
-        )
-    prev_r = prev_r + (remix[0] - prev_r) * blend
-    prev_g = prev_g + (remix[1] - prev_g) * blend
-    prev_b = prev_b + (remix[2] - prev_b) * blend
-    if stop == "remix":
-        return _trunc(prev_r, prev_g, prev_b)
-
-    ones = jnp.ones((h, w))
-    cur_rgba = (cur_r, cur_g, cur_b, ones)
-    prev_rgba = (prev_r, prev_g, prev_b, ones)
-
-    # Quad planes: slot (j, j) gets current on even frames etc.
-    q00 = tuple(jnp.where(even, c, p) for c, p in zip(cur_rgba, prev_rgba))
-    q11 = tuple(jnp.where(even, p, c) for c, p in zip(cur_rgba, prev_rgba))
-
-    # ------ extrapolate pass (smaa.wgsl:201-271) ------
-    def shift(planes, dy, dx):
-        return tuple(
-            jnp.roll(jnp.roll(p, -dy, axis=0), -dx, axis=1) for p in planes
-        )
-
-    t_c = q00
-    b_c = q11
-    n_c = shift(q11, -1, 0)
-    e_c = shift(q00, 0, 1)
-    s_c = shift(q00, 1, 0)
-    w_c = shift(q11, 0, -1)
-
-    def lum_absdiff(a, b):
-        return _lum_planes(
-            jnp.abs(a[0] - b[0]), jnp.abs(a[1] - b[1]), jnp.abs(a[2] - b[2])
-        )
-
-    dh0 = lum_absdiff(w_c, b_c)
-    dh1 = lum_absdiff(t_c, e_c)
-    dv0 = lum_absdiff(t_c, s_c)
-    dv1 = lum_absdiff(n_c, b_c)
-    factor_x = jnp.maximum(dv0, 0.001) * jnp.maximum(dv1, 0.001)
-    factor_y = jnp.maximum(dh0, 0.001) * jnp.maximum(dh1, 0.001)
-    factor_z = 1.0 / (factor_x + factor_y)
-
-    def diff_blend(t_, b_, l_, r_):
-        return tuple(
-            (0.5 * factor_z)
-            * ((lp + rp) * factor_x + (tp + bp) * factor_y)
-            for tp, bp, lp, rp in zip(t_, b_, l_, r_)
-        )
-
-    q10 = diff_blend(t_c, s_c, w_c, b_c)  # x slot: out[2y+1, 2x]
-    q01 = diff_blend(n_c, b_c, t_c, e_c)  # y slot: out[2y, 2x+1]
-    if stop == "extrap":
-        return _trunc(q00, q01, q10, q11)
-
-    out_planes = [
-        interleave2x2(q00[c], q01[c], q10[c], q11[c]) for c in range(4)
-    ]
-    return jnp.stack(out_planes, axis=-1)

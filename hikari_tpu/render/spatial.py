@@ -63,6 +63,7 @@ def spatial_reuse_pass(
     frame_number,
     settings: RenderSettings,
     emissive_lit: bool,
+    reproject: str = "adaptive",
 ):
     """Returns (radiance (rh,rw,3), variance, new spatial reservoir grid)."""
     render_size = settings.render_size
@@ -124,7 +125,9 @@ def spatial_reuse_pass(
         settings.max_reservoir_lifetime,
     )
     use_prev = r.lifetime <= max_lifetime
-    r_prev = load_previous_reservoir(spatial_prev, previous_uv, render_size)
+    r_prev = load_previous_reservoir(
+        spatial_prev, previous_uv, render_size, reproject
+    )
     r = r_prev.select(use_prev, r)
 
     surface = retrieve_surface(scene, g.material, g.velocity_uv[..., 2:4])

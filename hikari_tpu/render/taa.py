@@ -19,8 +19,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from hikari_tpu.render.filters import (
+    cond_window_gather,
     cross,
     edge_shift,
+    identity_window_accessor,
     make_dyn_at,
     nearest_sample,
     pack_window_gather,
@@ -237,6 +239,7 @@ def taa_jasmine(
     prev_gbuffer: GBuffer,
     clear_color,
     upscale_ratio: float,
+    reproject: str = "adaptive",
 ):
     h, w = render.shape[0], render.shape[1]
 
@@ -278,8 +281,12 @@ def taa_jasmine(
     # 6x6 window (position xyz: 4x4; history: the 12 used Catmull taps).
     # Packed channels: depth 36 + xyz 48 + velocity 8 + history 36 = 128 —
     # exactly one TPU lane tile, one wide gather.
-    spx = prev_ux * w
-    spy = prev_uy * h
+    # (xs + 0.5) - vel*size, NOT prev_ux*size: the (x+0.5)/w*w fp
+    # roundtrip loses bits exactly at the integer floor boundaries the
+    # base index sits on, so zero velocity would not reproduce the
+    # identity base (and the static-camera fast path would never engage).
+    spx = (xs.astype(jnp.float32) + 0.5) - vel_x * w
+    spy = (ys.astype(jnp.float32) + 0.5) - vel_y * h
     tpx = jnp.floor(spx - 0.5)
     tpy = jnp.floor(spy - 0.5)
     frx = spx - 0.5 - tpx  # in-texel fraction, == catmull's f
@@ -290,16 +297,62 @@ def taa_jasmine(
     bit_y = fry >= 0.5
 
     DEPTH, POS, VEL, HIST = 0, 1, 2, 3
-    at = pack_window_gather(
-        [
-            (prev_gbuffer.position, cross(range(-2, 4), range(-2, 4)), (3,)),
-            (prev_gbuffer.position, cross(range(-1, 3), range(-1, 3)), (0, 1, 2)),
-            (prev_gbuffer.velocity_uv, cross((0, 1), (0, 1)), (0, 1)),
-            (previous_render, CATMULL_TAPS, (0, 1, 2)),
-        ],
-        ky,
-        kx,
+    specs = [
+        (prev_gbuffer.position, cross(range(-2, 4), range(-2, 4)), (3,)),
+        (prev_gbuffer.position, cross(range(-1, 3), range(-1, 3)), (0, 1, 2)),
+        (prev_gbuffer.velocity_uv, cross((0, 1), (0, 1)), (0, 1)),
+        (previous_render, CATMULL_TAPS, (0, 1, 2)),
+    ]
+    # Zero-velocity steady state (static camera): the base is the pixel
+    # grid itself, so every previous-frame tap is a static shift and the
+    # pack build + wide gather (+ their backward scatter-adds) are
+    # skipped — see filters.cond_window_gather.
+    identity = jnp.all(ky == ys) & jnp.all(kx == xs)
+
+    def _taa_body(at):
+        return _taa_consume(
+            at,
+            (DEPTH, POS, VEL, HIST),
+            (frx, fry, bit_y, bit_x),
+            (cur_r, cur_g, cur_b),
+            (cur_depth, cur_px, cur_py, cur_pz),
+            (vel_x, vel_y),
+            (has_content, depth_miss, position_miss, boundary_miss),
+            render,
+            clear_color,
+            upscale_ratio,
+        )
+
+    return cond_window_gather(
+        identity,
+        lambda: identity_window_accessor(specs),
+        lambda: pack_window_gather(specs, ky, kx),
+        _taa_body,
+        mode=reproject,
     )
+
+
+def _taa_consume(
+    at,
+    slots,
+    fracs,
+    cur_rgb,
+    cur_pos,
+    vel,
+    misses,
+    render,
+    clear_color,
+    upscale_ratio,
+):
+    """Everything in taa_jasmine downstream of the window accessor —
+    shared verbatim by the static-shift and packed-gather branches of
+    filters.cond_window_gather (one body, two transports)."""
+    DEPTH, POS, VEL, HIST = slots
+    frx, fry, bit_y, bit_x = fracs
+    cur_r, cur_g, cur_b = cur_rgb
+    cur_depth, cur_px, cur_py, cur_pz = cur_pos
+    vel_x, vel_y = vel
+    has_content, depth_miss, position_miss, boundary_miss = misses
 
     dyn_at = make_dyn_at(at, bit_y, bit_x)
 

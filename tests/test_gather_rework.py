@@ -307,3 +307,120 @@ def test_smaa_static_scene_full_equivalence(rng, frame):
     np.testing.assert_allclose(
         np.asarray(out[1::2, 1::2])[sl], np.asarray(q11_ref)[sl], atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive reprojection (filters.cond_window_gather): the static-shift
+# branch must match the packed-gather branch whenever the integer base is
+# the identity map — including sub-texel velocities (base still identity,
+# fractions nonzero). Tolerance 1e-5, not bitwise: XLA fuses the shift
+# branch into FMA chains while the gather branch materializes packed
+# rows, so the same math rounds differently (measured max diff ~1e-6).
+# ---------------------------------------------------------------------------
+
+
+def _zero_velocity(gb, subpixel=0.0):
+    v = jnp.zeros_like(gb.velocity_uv)
+    if subpixel:
+        v = v.at[..., 0].set(subpixel).at[..., 1].set(-subpixel)
+    return GBuffer(
+        position=gb.position,
+        normal=gb.normal,
+        depth_gradient=gb.depth_gradient,
+        instance=gb.instance,
+        material=gb.material,
+        velocity_uv=v,
+    )
+
+
+@pytest.mark.parametrize("subpix", [0.0, 0.1])
+def test_taa_adaptive_branches_equal(rng, monkeypatch, subpix):
+    from hikari_tpu.render.taa import taa_jasmine
+
+    h, w = 32, 64
+    render = jnp.asarray(rng.uniform(size=(h, w, 4)).astype(np.float32))
+    prev = jnp.asarray(rng.uniform(size=(h, w, 4)).astype(np.float32))
+    gb = _zero_velocity(_rand_gbuffer(rng, h, w), subpixel=subpix / w)
+    pgb = _rand_gbuffer(rng, h, w)
+    clear = (0.1, 0.2, 0.3, 1.0)
+
+    adaptive = np.asarray(taa_jasmine(render, prev, gb, pgb, clear, 2.0))
+    monkeypatch.setenv("HIKARI_FORCE_WINDOW_GATHER", "1")
+    forced = np.asarray(taa_jasmine(render, prev, gb, pgb, clear, 2.0))
+    np.testing.assert_allclose(adaptive, forced, atol=1e-5)
+
+
+@pytest.mark.parametrize("frame", [0, 1])
+def test_smaa_adaptive_branches_equal(rng, monkeypatch, frame):
+    from hikari_tpu.render.smaa import smaa_tu4x
+
+    h, w = 16, 32
+    render = jnp.asarray(rng.uniform(size=(h, w, 4)).astype(np.float32))
+    prev_up = jnp.asarray(rng.uniform(size=(2 * h, 2 * w, 4)).astype(np.float32))
+    gb = _zero_velocity(_rand_gbuffer(rng, 2 * h, 2 * w))
+    pgb = _rand_gbuffer(rng, 2 * h, 2 * w)
+    fn = jnp.int32(frame)
+
+    adaptive = np.asarray(smaa_tu4x(render, prev_up, gb, pgb, fn))
+    monkeypatch.setenv("HIKARI_FORCE_WINDOW_GATHER", "1")
+    forced = np.asarray(smaa_tu4x(render, prev_up, gb, pgb, fn))
+    # The YCoCg AABB clip selects on a hard ma_unit > 1.0 threshold;
+    # branch-level fp reassociation noise (~1e-7) legitimately flips the
+    # select at isolated near-threshold pixels, so assert agreement
+    # within 5e-5 on >=99.5% of elements (measured: <=11/8192 flip).
+    d = np.abs(adaptive - forced)
+    assert np.mean(d > 5e-5) < 0.005, (np.mean(d > 5e-5), d.max())
+
+
+def test_taa_adaptive_takes_gather_on_motion(rng):
+    """A >1-texel velocity field must leave results identical to the
+    forced-gather path (the identity predicate goes False)."""
+    from hikari_tpu.render.taa import taa_jasmine
+
+    h, w = 32, 64
+    render = jnp.asarray(rng.uniform(size=(h, w, 4)).astype(np.float32))
+    prev = jnp.asarray(rng.uniform(size=(h, w, 4)).astype(np.float32))
+    gb = _rand_gbuffer(rng, h, w)  # random ±0.02 uv velocity ≈ ±1-2 texels
+    pgb = _rand_gbuffer(rng, h, w)
+    clear = (0.0, 0.0, 0.0, 0.0)
+    adaptive = np.asarray(taa_jasmine(render, prev, gb, pgb, clear, 2.0))
+    import os
+
+    os.environ["HIKARI_FORCE_WINDOW_GATHER"] = "1"
+    try:
+        forced = np.asarray(taa_jasmine(render, prev, gb, pgb, clear, 2.0))
+    finally:
+        del os.environ["HIKARI_FORCE_WINDOW_GATHER"]
+    # allclose, not bitwise: the adaptive path runs the same gather math
+    # inside lax.cond, which XLA fuses (and rounds) slightly differently.
+    np.testing.assert_allclose(adaptive, forced, atol=1e-5)
+
+
+def test_reservoir_reproject_branches_equal(rng, monkeypatch):
+    from hikari_tpu.render.light import (
+        load_previous_reservoir,
+        scatter_invalidate,
+    )
+    from hikari_tpu.render.restir import Reservoir
+
+    h, w = 24, 40
+    grid = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            rng.uniform(size=a.shape).astype(np.float32)
+        ).astype(a.dtype)
+        if a.dtype != jnp.int32
+        else jnp.asarray(rng.integers(0, 5, size=a.shape).astype(np.int32)),
+        Reservoir.zeros((h, w)),
+    )
+    uv = uv_grid((h, w))  # identity reprojection
+    mask = jnp.asarray(rng.uniform(size=(h, w)) < 0.3)
+
+    a1 = load_previous_reservoir(grid, uv, (h, w))
+    s1 = scatter_invalidate(grid, uv, mask, (h, w))
+    monkeypatch.setenv("HIKARI_FORCE_WINDOW_GATHER", "1")
+    a2 = load_previous_reservoir(grid, uv, (h, w))
+    s2 = scatter_invalidate(grid, uv, mask, (h, w))
+    for x1, x2 in zip(jax.tree_util.tree_leaves(a1), jax.tree_util.tree_leaves(a2)):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    for x1, x2 in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))

@@ -251,6 +251,10 @@ def main():
 
     b, w_ = make_vreg_g(1, x1, j1)
     timed("in-kernel 32x gather axis=1 (512x128)", scan_of(b), check=w_)
+    b, w_ = make_vreg_g(1, x1, j1, reps_inner=128)
+    timed("in-kernel 128x gather axis=1 (512x128)", scan_of(b), check=w_)
+    b, w_ = make_vreg_g(1, x1, j1, reps_inner=1)
+    timed("in-kernel 1x gather axis=1 (512x128)", scan_of(b), check=w_)
     M0, N0 = 8, 1024
     x0 = jnp.arange(M0 * N0, dtype=jnp.float32).reshape(M0, N0) * 1e-4
     j0 = jax.random.randint(key, (M0, N0), 0, M0, dtype=jnp.int32)
