@@ -275,7 +275,10 @@ def main():
         "metric": (
             "rays/sec/chip fwd+grad, 1080p Cornell"
             if args.config == "cornell"
-            else f"rays/sec/chip fwd+grad, {height}p {args.config}"
+            else (
+                f"rays/sec/chip fwd+grad, "
+                f"{settings.output_size[0]}p {args.config}"
+            )
         ),
         "value": rays_per_sec,
         "unit": "rays/s",

@@ -21,7 +21,7 @@ from hikari_tpu.config import F32_EPSILON, RenderSettings
 from hikari_tpu.render.filters import nearest_sample, shift2d
 from hikari_tpu.render.light import jittered_deferred_uv, render_coords
 from hikari_tpu.render.types import GBuffer
-from hikari_tpu.utils import ATROUS_KERNEL, luminance
+from hikari_tpu.utils import ATROUS_KERNEL, luminance, safe_sqrt0
 
 _OFFSETS = [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
 
@@ -168,7 +168,7 @@ def atrous_level(irradiance, var, guides, settings: RenderSettings, tap):
     if settings.firefly_filtering:
         ff_mean = ff_m1 / jnp.maximum(ff_n, 1.0)
         ff_var = ff_m2 / jnp.maximum(ff_n, 1.0) - ff_mean * ff_mean
-        fire = lum_c > ff_mean + 3.0 * jnp.sqrt(jnp.maximum(ff_var, 0.0))
+        fire = lum_c > ff_mean + 3.0 * safe_sqrt0(ff_var)
         scale = jnp.where(fire, ff_mean / jnp.maximum(lum_c, 1e-8), 1.0)
         new_irr = new_irr * scale[..., None]
 

@@ -34,7 +34,7 @@ from hikari_tpu.render.taa import (
     ycocg_to_rgb_planes,
 )
 from hikari_tpu.render.types import GBuffer
-from hikari_tpu.utils import TAU, fract
+from hikari_tpu.utils import TAU, fract, safe_sqrt0
 
 
 def _lum_planes(r, g, b):
@@ -263,7 +263,9 @@ def smaa_tu4x(
                 for dx in (0, 1):
                     d = cur_depth - pos_tap(cy + dy, cx + dx, 3)
                     dds = d * d if dds is None else dds + d * d
-            dds = jnp.sqrt(dds)
+            # safe_sqrt0: with a static scene the gathered prev depths can
+            # equal cur_depth exactly -> dds == 0 (see utils.safe_sqrt0).
+            dds = safe_sqrt0(dds)
             take = dds < min_ds
             for i, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
                 corner_rgb = tuple(
@@ -288,7 +290,7 @@ def smaa_tu4x(
             m2 = [b + p * p for b, p in zip(m2, t)]
         mean = [a / 4.0 for a in m1]
         var = [
-            jnp.sqrt(jnp.maximum(b / 4.0 - m * m, 0.0)) for b, m in zip(m2, mean)
+            safe_sqrt0(b / 4.0 - m * m) for b, m in zip(m2, mean)
         ]
         prev_y = rgb_to_ycocg_planes(prev_r, prev_g, prev_b)
         clipped = clip_aabb_planes(

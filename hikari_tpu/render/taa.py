@@ -28,7 +28,7 @@ from hikari_tpu.render.filters import (
     pack_window_gather,
 )
 from hikari_tpu.render.types import GBuffer
-from hikari_tpu.utils import rgb_to_ycocg, uv_grid, ycocg_to_rgb
+from hikari_tpu.utils import rgb_to_ycocg, safe_sqrt0, uv_grid, ycocg_to_rgb
 
 
 def clip_towards_aabb_center(prev_c, cur_c, aabb_min, aabb_max):
@@ -437,9 +437,9 @@ def _taa_consume(
             m1[c] = m1[c] + t
             m2[c] = m2[c] + t * t
     mean = [a / 9.0 for a in m1]
-    var = [
-        jnp.sqrt(jnp.maximum(b / 9.0 - m * m, 0.0)) for b, m in zip(m2, mean)
-    ]
+    # safe_sqrt0: flat regions make the 3x3 variance EXACTLY 0, where
+    # sqrt's inf derivative x the (zero) clip-path cotangent births NaN.
+    var = [safe_sqrt0(b / 9.0 - m * m) for b, m in zip(m2, mean)]
     prev_y = rgb_to_ycocg_planes(prev_r, prev_g, prev_b)
     clipped = clip_aabb_planes(
         prev_y,

@@ -47,6 +47,17 @@ def safe_normalize(v):
     return normalize(v, eps=1e-18)
 
 
+def safe_sqrt0(x):
+    """``sqrt(max(x, 0))`` with a FINITE backward at 0 (zero
+    subgradient). d(sqrt)/dx is inf at x == 0; flat image regions make
+    neighborhood variances EXACTLY 0, and the chain's zero cotangent
+    times inf poisons the backward with NaN — measured as 25% cotangent
+    NaN-scrub engagement at the SMAA/tonemap firewalls on cornell
+    (tools/clip_engagement.py, round 4) before this guard."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def length(v):
     return jnp.sqrt(jnp.sum(v * v, axis=-1))
 
