@@ -457,12 +457,23 @@ def _trace_pallas_tiled(scene, o, d, maxd, early, excl, lo, hi):
         trace_pallas_tiled,
     )
 
-    # Swept on v5e (STATUS.md): 64-triangle clusters beat 128/256 at every
-    # scene size (tighter AABBs -> fewer entered pairs outweighs the extra
-    # per-cluster loop overhead); grow cluster only to keep the per-tile
-    # SMEM cluster lists (2 x L i32/f32) within Mosaic limits.
+    # Re-swept on v5e round 4 (tools/bench_city_trace.py) WITH the
+    # per-ray maxent retirement (trace/tiled.py tile_cluster_entries) and
+    # the in-kernel cluster skip: the old "64 beats everything" verdict
+    # inverts at scale — 64 only wins below ~32k tris (city-8 class);
+    # 128 wins the ~100k class (FlightHelmet mixed rays 137 -> 113 ms per
+    # 262k); 256 wins 250k+ (city-551k primaries 158 -> 74 ms). Fewer,
+    # bigger clusters amortize the per-iteration while_loop scalar sync +
+    # DMA wait, and the skip's slab pre-test recovers the lost AABB
+    # tightness. Grow cluster further only to keep the per-tile SMEM
+    # cluster lists (2 x L i32/f32) within Mosaic limits.
     P = scene.tri_n.shape[0]
-    cluster = 64
+    if P < 32768:
+        cluster, use_skip = 64, False
+    elif P < 262144:
+        cluster, use_skip = 128, True
+    else:
+        cluster, use_skip = 256, True
     while -(-P // cluster) > 16384:
         cluster *= 2
 
@@ -500,7 +511,7 @@ def _trace_pallas_tiled(scene, o, d, maxd, early, excl, lo, hi):
         packed, cmin, cmax, cvalid,
         prep(o), prep(d, 1.0), prep(maxd), prep(early),
         prep(excl, -1), prep(lo), prep(hi, 0),
-        interpret=interpret, cluster=cluster,
+        interpret=interpret, cluster=cluster, use_skip=use_skip,
     )
     t, prim, u, v = (
         t[:R][inv_order], prim[:R][inv_order],

@@ -133,6 +133,11 @@ def _make_kernel(tile_r: int, cluster: int, use_skip: bool = True):
 
         ox1, oy1, oz1 = rrow1(0), rrow1(1), rrow1(2)
         maxd1 = rrow1(6)
+        # Per-ray retirement bound: beyond this distance the ray has no
+        # clusters left to enter (tile_cluster_entries ray_maxent) — the
+        # round-4 miss-ray fix (sky/unoccluded-shadow rays otherwise pin
+        # the tile for the whole walk).
+        maxent1 = rrow1(11)
 
         def sinv(x):
             return 1.0 / jnp.where(
@@ -239,7 +244,11 @@ def _make_kernel(tile_r: int, cluster: int, use_skip: bool = True):
                 done_ns = jnp.any(
                     (bp >= 0.0) & (bt < early), axis=0, keepdims=True
                 )
-                open_ns = (~done_ns) & (bt_ray_ns > e_next_ns)
+                open_ns = (
+                    (~done_ns)
+                    & (bt_ray_ns > e_next_ns)
+                    & (maxent1 >= e_next_ns)
+                )
                 cont_ns = (
                     (j + 1 < L) & (e_next_ns < F32_MAX) & jnp.any(open_ns)
                 )
@@ -286,7 +295,9 @@ def _make_kernel(tile_r: int, cluster: int, use_skip: bool = True):
             bt_ray = jnp.min(bt, axis=0, keepdims=True)  # (1, TILE_R)
             done_early = jnp.any((bp >= 0.0) & (bt < early), axis=0,
                                  keepdims=True)
-            ray_open = (~done_early) & (bt_ray > e_next)
+            ray_open = (
+                (~done_early) & (bt_ray > e_next) & (maxent1 >= e_next)
+            )
             cont = (j + 1 < L) & (e_next < F32_MAX) & jnp.any(ray_open)
             return (j + 1, cont, bt, bp, bu, bv)
 
@@ -348,9 +359,9 @@ def trace_pallas_tiled(
     ot = o.reshape(T, TILE_R_, 3)
     inv_d = safe_inv_dir(d).reshape(T, TILE_R_, 3)
     maxdt = maxd.reshape(T, TILE_R_)
-    entry_min = tile_cluster_entries(
+    entry_min, ray_maxent = tile_cluster_entries(
         cmin, cmax, cvalid, ot, inv_d, maxdt
-    )  # (T, L)
+    )  # (T, L), (T, TILE_R_)
     order = jnp.argsort(entry_min, axis=1).astype(jnp.int32)
     entry_sorted = jnp.take_along_axis(entry_min, order, axis=1)
     order = order[:, None]  # (T, 1, L): unit sublane dim for SMEM blocks
@@ -366,8 +377,9 @@ def trace_pallas_tiled(
             excl.astype(jnp.float32),
             lo.astype(jnp.float32),
             hi.astype(jnp.float32),
+            ray_maxent.reshape(R),
         ]
-        + [jnp.zeros((R,))] * 5,
+        + [jnp.zeros((R,))] * 4,
         axis=0,
     )  # (16, R)
     rays = rays.reshape(16, T, TILE_R_).swapaxes(0, 1)  # (T, 16, TILE_R_)

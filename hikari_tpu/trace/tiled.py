@@ -89,11 +89,24 @@ def _packed_tris(scene):
 def tile_cluster_entries(cmin, cmax, cvalid, ot, inv_d, maxdt):
     """Per-tile min cluster entry distances: slab-test each ray against
     each cluster AABB in (SUB_R, L) sub-blocks. ot/inv_d: (T, TILE_R, 3);
-    maxdt: (T, TILE_R). Returns (T, L) min entry over the tile's rays
-    (F32_MAX where no ray enters the cluster)."""
+    maxdt: (T, TILE_R). Returns (entries (T, L), ray_maxent (T, TILE_R)):
+    per-tile min entry over rays (F32_MAX where no ray enters), and per
+    RAY the maximum finite entry over ALL clusters (-1 where the ray
+    enters none).
+
+    ray_maxent is the per-ray retirement bound for the near-to-far walk:
+    once the tile's next (ascending, tile-min) entry e_next exceeds a
+    ray's maxent, every remaining cluster's PERSONAL entry for that ray
+    is >= e_next > maxent, yet any finite personal entry is <= maxent by
+    definition — so all remaining personal entries are infinite and the
+    ray provably cannot hit anything ahead. Without it, miss rays (sky
+    pixels, unoccluded shadow rays — most of a city frame) keep best_t
+    at max_distance and hold their whole tile in the walk for every
+    cluster any neighbor might need (the round-4 city finding: 6
+    trace dispatches at ~1 Mrays/s = ~95% of the 817 ms frame)."""
 
     def tile_entry(ob, ib, mb):
-        # ob/ib: (SUB_R, 3); mb: (SUB_R,) maxd. -> (L,) min entry over rays
+        # ob/ib: (SUB_R, 3); mb: (SUB_R,) maxd. -> ((L,), (SUB_R,))
         t0 = (cmin[None] - ob[:, None]) * ib[:, None]  # (SUB_R, L, 3)
         t1 = (cmax[None] - ob[:, None]) * ib[:, None]
         tlo = jnp.minimum(t0, t1).max(axis=-1)
@@ -101,20 +114,22 @@ def tile_cluster_entries(cmin, cmax, cvalid, ot, inv_d, maxdt):
         entry = jnp.maximum(tlo, 0.0)
         hit = (thi >= entry) & (entry < mb[:, None]) & cvalid[None]
         e = jnp.where(hit, entry, F32_MAX)
-        return e.min(axis=0)  # (L,)
+        rm = jnp.where(hit, entry, -1.0).max(axis=1)  # (SUB_R,)
+        return e.min(axis=0), rm
 
     def per_tile(args):
         oT, iT, mT = args
         subs = ot.shape[1] // SUB_R
-        es = [
-            tile_entry(
+        es, rms = [], []
+        for s in range(subs):
+            e, rm = tile_entry(
                 oT[s * SUB_R : (s + 1) * SUB_R],
                 iT[s * SUB_R : (s + 1) * SUB_R],
                 mT[s * SUB_R : (s + 1) * SUB_R],
             )
-            for s in range(subs)
-        ]
-        return jnp.stack(es).min(axis=0)
+            es.append(e)
+            rms.append(rm)
+        return jnp.stack(es).min(axis=0), jnp.concatenate(rms)
 
     # Bound the (tiles_in_flight, SUB_R, L, 3) slab intermediate to
     # ~256 MB: a plain vmap over tiles materializes it for ALL tiles at
@@ -126,7 +141,7 @@ def tile_cluster_entries(cmin, cmax, cvalid, ot, inv_d, maxdt):
     chunk = int(max(1, min(ot.shape[0], (256 << 20) // max(per_tile_bytes, 1))))
     return jax.lax.map(
         per_tile, (ot, inv_d, maxdt), batch_size=chunk
-    )  # (T, L)
+    )  # ((T, L), (T, TILE_R))
 
 
 def safe_inv_dir(d):
@@ -160,7 +175,9 @@ def trace_tiled(scene, o, d, maxd, early, excl, lo, hi):
 
     # ---- phase 1: per-tile cluster entry distances ----
     inv_d = safe_inv_dir(dt)
-    entry_min = tile_cluster_entries(cmin, cmax, cvalid, ot, inv_d, maxdt)
+    entry_min, ray_maxent = tile_cluster_entries(
+        cmin, cmax, cvalid, ot, inv_d, maxdt
+    )
     order = jnp.argsort(entry_min, axis=1)  # (T, L) near-to-far
     entry_sorted = jnp.take_along_axis(entry_min, order, axis=1)
 
@@ -228,13 +245,20 @@ def trace_tiled(scene, o, d, maxd, early, excl, lo, hi):
 
     def _tile_active(j, bt, bp):
         """Tiles whose next cluster exists, is hit, and could still beat a
-        ray that hasn't early-terminated (entries ascend near-to-far)."""
+        ray that hasn't early-terminated (entries ascend near-to-far).
+        ray_maxent additionally retires rays whose personal cluster list
+        is exhausted (see tile_cluster_entries) — without it miss rays
+        pin their tile for the whole walk."""
         jc = jnp.minimum(j, L - 1)
         e_j = jnp.take_along_axis(entry_sorted, jc[None, None], axis=1)[:, 0]
         bt2 = bt.reshape(T, TILE_R)
         bp2 = bp.reshape(T, TILE_R)
         done_early = (bp2 >= 0) & (bt2 < earlyt)
-        ray_open = (~done_early) & (bt2 > e_j[:, None])
+        ray_open = (
+            (~done_early)
+            & (bt2 > e_j[:, None])
+            & (ray_maxent >= e_j[:, None])
+        )
         return (e_j < F32_MAX) & jnp.any(ray_open, axis=1), e_j
 
     def cond(carry):
