@@ -215,7 +215,9 @@ def main():
     # so the cornell north-star number can never be jeopardized; the
     # compile cache is pre-warmed in-round so these are runtime-only.
     extra = None
-    if args.config == "cornell" and not os.environ.get("HIKARI_BENCH_NO_EXTRA"):
+    if args.config == "cornell" and os.environ.get(
+        "HIKARI_BENCH_NO_EXTRA", "0"
+    ) in ("0", ""):
         import signal
 
         class _ExtraTimeout(Exception):

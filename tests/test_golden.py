@@ -1,13 +1,22 @@
-"""Golden-image regression (SURVEY.md §4 tier 2): the Cornell render is
-deterministic (fixed blue-noise bank + frame counter), so a committed
-golden catches any silent change in the light transport.
+"""Golden-image regression (SURVEY.md §4 tier 2): renders are
+deterministic (fixed blue-noise bank + frame counter), so committed
+goldens catch any silent change in the light transport.
 
-Two goldens (round-2 VERDICT item 6):
+Goldens (round-2 VERDICT item 6; round-4 items 7):
   * golden_cornell_64.npy        — frame 6, bare pipeline (no TAA/upscale):
     anchors the light transport itself.
   * golden_cornell_steady_96.npy — frame 18 of the FULL pipeline (SMAA
     TU4x + TAA + denoise + temporal/spatial ReSTIR reuse at steady state):
     anchors the reuse/reprojection paths, which a converged mean can hide.
+  * golden_cornell_channels_96.npz — the three DENOISED lighting channels
+    (direct / emissive / indirect) of the same steady frame — the
+    self-anchored analogue of the reference author's per-pass
+    assets/screenshots/dissection/* images: a regression in one channel
+    localizes instead of washing into the composite.
+  * golden_scene_steady_96.npy  — frame 12, FlightHelmet (spatial ReSTIR
+    + SVGF chain), the large-asset acceptance config.
+  * golden_city_steady_64.npy   — frame 8, 551k-tri city (large-scene
+    tracer + emissive lamps), so tracer perf work is regression-gated.
 
 Regenerate with: python tests/test_golden.py regen
 """
@@ -85,12 +94,81 @@ def _check(render_fn, golden_path):
     assert psnr > 40.0, psnr
 
 
+GOLDEN_CHANNELS = os.path.join(
+    os.path.dirname(__file__), "golden_cornell_channels_96.npz"
+)
+GOLDEN_SCENE = os.path.join(
+    os.path.dirname(__file__), "golden_scene_steady_96.npy"
+)
+GOLDEN_CITY = os.path.join(
+    os.path.dirname(__file__), "golden_city_steady_64.npy"
+)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _render_config(name, size, frames):
+    """Steady-state render of a CONFIGS scene through the full default
+    pipeline; returns (composite rgb, {channel: array}). Cached so the
+    steady-composite and per-channel tests share one render."""
+    from hikari_tpu.config import Taa, Upscale
+    from hikari_tpu.io.scenes import CONFIGS
+    from hikari_tpu.render import initial_state, render_frame_jit
+    from hikari_tpu.scene import build_scene_buffers
+
+    scene, cam, settings = CONFIGS[name]()
+    settings = settings.replace(
+        width=size, height=size, upscale=Upscale.smaa_tu4x(2.0),
+        taa=Taa.JASMINE, denoise=True, indirect_bounces=1,
+    )
+    buffers = build_scene_buffers(scene)
+    state = initial_state(settings)
+    out = None
+    for _ in range(frames):
+        out, state = render_frame_jit(buffers, cam, state, settings)
+    chans = {
+        "direct": np.asarray(out.direct),
+        "emissive": np.asarray(out.emissive),
+        "indirect": np.asarray(out.indirect),
+    }
+    return np.asarray(out.image)[..., :3], chans
+
+
 def test_cornell_golden():
     _check(_render, GOLDEN)
 
 
 def test_cornell_steady_state_golden():
     _check(_render_steady, GOLDEN_STEADY)
+
+
+def test_cornell_channel_goldens():
+    """Per-pass dissection anchors: each denoised lighting channel must
+    match its golden independently (the reference author's dissection-
+    image methodology, self-anchored)."""
+    import pytest
+
+    if not os.path.exists(GOLDEN_CHANNELS):
+        pytest.skip("golden not generated yet")
+    from hikari_tpu.io.image import image_psnr
+
+    _, chans = _render_config("cornell", 96, 18)
+    ref = np.load(GOLDEN_CHANNELS)
+    for k, v in chans.items():
+        psnr = image_psnr(
+            np.clip(v, 0, 1), np.clip(ref[k], 0, 1)
+        )
+        assert psnr > 40.0, (k, psnr)
+
+
+def test_scene_steady_golden():
+    _check(lambda: _render_config("scene", 96, 12)[0], GOLDEN_SCENE)
+
+
+def test_city_steady_golden():
+    _check(lambda: _render_config("city", 64, 8)[0], GOLDEN_CITY)
 
 
 if __name__ == "__main__":
@@ -103,3 +181,10 @@ if __name__ == "__main__":
         print(f"wrote {GOLDEN}")
         np.save(GOLDEN_STEADY, _render_steady())
         print(f"wrote {GOLDEN_STEADY}")
+        _, chans = _render_config("cornell", 96, 18)
+        np.savez(GOLDEN_CHANNELS, **chans)
+        print(f"wrote {GOLDEN_CHANNELS}")
+        np.save(GOLDEN_SCENE, _render_config("scene", 96, 12)[0])
+        print(f"wrote {GOLDEN_SCENE}")
+        np.save(GOLDEN_CITY, _render_config("city", 64, 8)[0])
+        print(f"wrote {GOLDEN_CITY}")
