@@ -152,23 +152,23 @@ def retrieve_surface(scene, material_index, uv=None) -> Surface:
     occlusion = jnp.ones_like(metallic)
 
     if getattr(scene, "num_textures", 0) > 0 and uv is not None:
-        from hikari_tpu.render.texture import sample_texture_stack, srgb_to_linear
+        from hikari_tpu.render.texture import sample_texture_atlas, srgb_to_linear
 
-        tex = scene.textures
-        bc = sample_texture_stack(tex, scene.mat_base_color_texture[safe], uv)
+        def tex_sample(ids):
+            return sample_texture_atlas(scene.tex_atlas, scene.tex_meta, ids, uv)
+
+        bc = tex_sample(scene.mat_base_color_texture[safe])
         base_color = base_color * jnp.concatenate(
             [srgb_to_linear(bc[..., :3]), bc[..., 3:4]], axis=-1
         )
-        em = sample_texture_stack(tex, scene.mat_emissive_texture[safe], uv)
+        em = tex_sample(scene.mat_emissive_texture[safe])
         emissive = emissive * jnp.concatenate(
             [srgb_to_linear(em[..., :3]), em[..., 3:4]], axis=-1
         )
-        mr = sample_texture_stack(
-            tex, scene.mat_metallic_roughness_texture[safe], uv
-        )
+        mr = tex_sample(scene.mat_metallic_roughness_texture[safe])
         # Reference multiplies metallic by the red channel (light.wgsl:768).
         metallic = metallic * mr[..., 0]
-        occ = sample_texture_stack(tex, scene.mat_occlusion_texture[safe], uv)
+        occ = tex_sample(scene.mat_occlusion_texture[safe])
         occlusion = occ[..., 0]
 
     return Surface(
@@ -186,10 +186,11 @@ def retrieve_emissive(scene, material_index, uv=None):
     safe = jnp.maximum(material_index, 0)
     emissive = mxu_table_gather(scene.mat_emissive, safe)
     if getattr(scene, "num_textures", 0) > 0 and uv is not None:
-        from hikari_tpu.render.texture import sample_texture_stack, srgb_to_linear
+        from hikari_tpu.render.texture import sample_texture_atlas, srgb_to_linear
 
-        em = sample_texture_stack(
-            scene.textures, scene.mat_emissive_texture[safe], uv
+        em = sample_texture_atlas(
+            scene.tex_atlas, scene.tex_meta,
+            scene.mat_emissive_texture[safe], uv,
         )
         emissive = emissive * jnp.concatenate(
             [srgb_to_linear(em[..., :3]), em[..., 3:4]], axis=-1

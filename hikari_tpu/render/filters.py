@@ -357,19 +357,34 @@ def quad_phase_sampler(img, j, pad: int = 4):
     # clamped out-res texel (whatever its parity) is what the edge pad
     # replicated.
     def phases(c2):
+        # Four 2D quarter-res phase planes: phase[py][px][y, x] =
+        # pd[2y + py, 2x + px], via STATIC strided slices. 2D (not a 4D
+        # stack): their VJPs are 2D interior pads — the fast lowering
+        # class — where the earlier 4D reshape+transpose formulation's
+        # backward ran the SMAA window-fetch stage at ~60 ms
+        # (tools/bench_smaa_iso.py --grad --stops, round 4).
         pd = jnp.pad(c2, ((P, P), (P, P)), mode="edge")
-        # (2(h+P), 2(w+P)) -> (2, 2, h+P, w+P): phase[py, px, y, x] =
-        # pd[2y + py, 2x + px]; one fused reshape+transpose per channel.
-        return pd.reshape(h + P, 2, w + P, 2).transpose(1, 3, 0, 2)
+        return [[pd[py::2, px::2] for px in (0, 1)] for py in (0, 1)]
 
-    # optimization_barrier: force ONE materialization of the de-interleave.
-    # With many tap consumers (the SMAA zero-velocity accessor takes ~80
-    # taps), XLA otherwise re-fuses the pad+transpose into every slice —
-    # measured ~57 ms instead of ~3 ms for the window-fetch stage at
-    # 1080p (tools/bench_smaa_iso.py).
+    # optimization_barrier: force ONE materialization of the de-interleave
+    # (with ~80 tap consumers in the SMAA zero-velocity accessor, XLA
+    # otherwise re-fuses the pad+deinterleave into every slice — measured
+    # ~57 ms instead of ~3 ms for the window-fetch stage at 1080p).
+    # HIKARI_NO_PHASE_BARRIER=1 disables (A/B knob).
+    import os as _os
+
     import jax as _jax
 
-    phased = _jax.lax.optimization_barrier([phases(c) for c in chans])
+    phased = [phases(c) for c in chans]
+    if not _os.environ.get("HIKARI_NO_PHASE_BARRIER"):
+        flat = _jax.lax.optimization_barrier(
+            [p for quad in phased for row in quad for p in row]
+        )
+        phased = [
+            [[flat[ci * 4 + 0], flat[ci * 4 + 1]],
+             [flat[ci * 4 + 2], flat[ci * 4 + 3]]]
+            for ci in range(len(chans))
+        ]
 
     def tap(cy: int, cx: int, ch: int | None = None):
         assert -P <= cy + 1 <= P and -P <= cx + 1 <= P
@@ -381,7 +396,7 @@ def quad_phase_sampler(img, j, pad: int = 4):
                 ay = min(max(ay, 0), 2 * P)  # dynamic_slice-clamp parity
                 ax = min(max(ax, 0), 2 * P)
                 py, px, sy, sx = ay & 1, ax & 1, ay >> 1, ax >> 1
-                outs.append(t[py, px, sy : sy + h, sx : sx + w])
+                outs.append(t[py][px][sy : sy + h, sx : sx + w])
             return jnp.where(evenb, outs[0], outs[1])
 
         if ch is not None:
@@ -397,7 +412,10 @@ def interleave2x2(q00, q01, q10, q11):
     """out[2y + a, 2x + b] = q_ab[y, x] — quad-slot interleave via
     interior-padded adds (lax.pad interior=1), ~3.5x faster than four
     strided ``.at[::2, ::2].set`` updates on TPU
-    (tools/bench_smaa_prims.py: 3.9 vs 13.5 ms for 4 slots @1080p)."""
+    (tools/bench_smaa_prims.py: 3.9 vs 13.5 ms for 4 slots @1080p).
+    (A custom reshape+transpose VJP was measured and REJECTED round 4:
+    the natural interior-pad transpose — static strided slices — is
+    faster; the round-3 strided pathology needed a DYNAMIC start.)"""
     import jax as _jax
 
     z = jnp.zeros((), dtype=q00.dtype)

@@ -8,9 +8,19 @@ rejecting by depth ratio, normal agreement, backface, and screen-space
 depth-ray-march occlusion, merging survivors with the GRIS reconnection
 Jacobian.
 
-The reference's 8x8 workgroup shared-memory tile is an optimization of the
-same gathers; here every tap is a dense whole-grid gather (a Pallas tiled
-variant is the planned optimization)."""
+The reference's 8x8 workgroup shared-memory tile
+(src/shaders/light.wgsl:1500-1524) is an optimization of the same
+gathers. The TPU-fast default here is the roll-based variant path
+(``rolled_taps``): K globally-rotated spiral copies make every neighbor
+fetch a static shift. A Pallas VMEM-tile analogue was evaluated and
+REJECTED on round-4 measurements (tools/bench_pallas_prims.py,
+docs/ROOFLINE.md §1): per-pixel-rotated taps need in-kernel 2D gathers,
+but Mosaic's tpu.dynamic_gather is limited to single-vreg gather dims
+(≤128 lanes — the 20 px spiral radius forces ≤88-wide tiles with a
+41-row delta-loop per tap), and measured ~10 Gelem/s marginal with a
+~1.7 ms/call floor; a 16-tap × ~25-channel tile kernel prices well above
+the whole measured ~30 ms roll-path pass (profile_prefix round 4). The
+roll path stays."""
 
 from __future__ import annotations
 

@@ -96,7 +96,8 @@ class SceneBuffers:
     mat_metallic_roughness_texture: jax.Array
     mat_normal_map_texture: jax.Array
     mat_occlusion_texture: jax.Array
-    textures: jax.Array
+    tex_atlas: jax.Array  # (N,) u32 native-res flat atlas
+    tex_meta: jax.Array  # (T, 3) i32 [offset, h, w]
     # emissives
     em_emissive: jax.Array
     em_position: jax.Array
@@ -215,7 +216,8 @@ def to_device(
         mat_metallic_roughness_texture=dev(arrays.mat_metallic_roughness_texture),
         mat_normal_map_texture=dev(arrays.mat_normal_map_texture),
         mat_occlusion_texture=dev(arrays.mat_occlusion_texture),
-        textures=dev(arrays.textures),
+        tex_atlas=dev(arrays.tex_atlas),
+        tex_meta=dev(arrays.tex_meta),
         em_emissive=dev(_pad(arrays.em_emissive, e)),
         em_position=dev(_pad(arrays.em_position, e)),
         em_radius=dev(_pad(arrays.em_radius, e)),
@@ -240,7 +242,7 @@ def to_device(
         num_emissives=num_em,
         num_enodes=num_enodes,
         num_materials=num_mats,
-        num_textures=len(arrays.textures),
+        num_textures=int(arrays.num_textures),
         refit_depth=int(arrays.refit_depth),
         erefit_depth=int(arrays.erefit_depth),
         num_tlas_nodes=int(arrays.num_tlas_nodes),

@@ -183,7 +183,9 @@ class SceneArrays:
     mat_metallic_roughness_texture: np.ndarray  # (M,)
     mat_normal_map_texture: np.ndarray  # (M,)
     mat_occlusion_texture: np.ndarray  # (M,)
-    textures: np.ndarray  # (T, S, S, 4) f32 stack (T=0 -> no textures)
+    tex_atlas: np.ndarray  # (N,) u32 packed RGBA8, native-res flat atlas
+    tex_meta: np.ndarray  # (T, 3) i32 [offset, h, w] per texture
+    num_textures: int  # T (atlas arrays are 1-padded when T == 0)
 
     # emissives + light BVH + alias tables
     em_emissive: np.ndarray  # (E, 4)
@@ -209,12 +211,10 @@ class SceneArrays:
     ambient_color: np.ndarray  # (3,)
 
 
-def _build_texture_stack(scene: Scene) -> np.ndarray:
-    if not scene.textures:
-        return np.zeros((0, 1, 1, 4), dtype=np.float32)
-    from hikari_tpu.render.texture import resample_to_stack
+def _build_texture_atlas(scene: Scene):
+    from hikari_tpu.render.texture import build_texture_atlas
 
-    return resample_to_stack(scene.textures)
+    return build_texture_atlas(scene.textures)
 
 
 def compile_scene(scene: Scene) -> SceneArrays:
@@ -463,7 +463,9 @@ def compile_scene(scene: Scene) -> SceneArrays:
         mat_occlusion_texture=np.asarray(
             [m.occlusion_texture for m in mats], dtype=np.int32
         ),
-        textures=_build_texture_stack(scene),
+        tex_atlas=_build_texture_atlas(scene)[0],
+        tex_meta=_build_texture_atlas(scene)[1],
+        num_textures=len(scene.textures),
         em_emissive=np.asarray(em_emissive, dtype=np.float32).reshape(-1, 4),
         em_position=em_position_a,
         em_radius=em_radius_a,

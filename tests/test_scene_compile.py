@@ -115,3 +115,35 @@ def test_city_reference_scale():
     d = d / np.linalg.norm(d, axis=-1, keepdims=True)
     hit = trace_rays(b, o, jnp.asarray(d), method="tiled")
     assert int(jnp.sum(hit.inst >= 0)) > n // 2
+
+
+def test_texture_atlas_native_resolution():
+    """The atlas must preserve native texture detail (round-3 VERDICT
+    item 4: the old fixed 256² stack silently decimated FlightHelmet's
+    512²+ maps). 1-px stripes at 512² survive only at native res."""
+    import jax.numpy as jnp
+
+    from hikari_tpu.render.texture import (
+        build_texture_atlas,
+        sample_texture_atlas,
+    )
+
+    check = np.zeros((512, 512, 4), np.uint8)
+    check[::2, :, :3] = 255
+    check[..., 3] = 255
+    atlas, meta = build_texture_atlas([check])
+    assert meta[0, 1] == 512 and meta[0, 2] == 512
+    ys = (jnp.arange(8).astype(jnp.float32) + 0.5) / 512.0
+    uv = jnp.stack([jnp.full((8,), 0.3), ys], axis=-1)
+    out = sample_texture_atlas(
+        jnp.asarray(atlas), jnp.asarray(meta), jnp.zeros((8,), jnp.int32), uv
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[..., 0]), [1, 0, 1, 0, 1, 0, 1, 0], atol=1e-3
+    )
+    # id -1 = white (reference NO_TEXTURE semantics)
+    out2 = sample_texture_atlas(
+        jnp.asarray(atlas), jnp.asarray(meta),
+        jnp.full((8,), -1, jnp.int32), uv,
+    )
+    np.testing.assert_allclose(np.asarray(out2), 1.0)

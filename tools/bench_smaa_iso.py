@@ -57,10 +57,25 @@ def main():
     if "--quick" in sys.argv:
         stops = [None, "gather", "clip"]
 
+    grad_mode = "--grad" in sys.argv
+    if grad_mode and "--stops" not in sys.argv:
+        stops = [None]
+
     for stop in stops:
 
         def run():
             def step(carry, k):
+                if grad_mode:
+                    def loss(r, p):
+                        out = smaa_tu4x(r, p, g, pg, k, stop=stop)
+                        return jnp.sum(out[::64, ::64])
+
+                    l, grads = jax.value_and_grad(loss, argnums=(0, 1))(
+                        render + 1e-6 * k, prev_up
+                    )
+                    return carry + l + 1e-9 * sum(
+                        jnp.sum(jnp.abs(gr)) for gr in grads
+                    ), None
                 out = smaa_tu4x(
                     render + 1e-6 * k, prev_up, g, pg, k, stop=stop
                 )

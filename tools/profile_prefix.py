@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--size", type=int, default=0)
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--grad", action="store_true")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="profile the bench's no-remat config")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
         "--stages", default="",
@@ -67,6 +69,8 @@ def main():
         width=width, height=height, upscale=Upscale.smaa_tu4x(2.0),
         taa=Taa.JASMINE, denoise=True, indirect_bounces=1,
     )
+    if args.no_remat:
+        base = base.replace(remat=False)
     buffers = build_scene_buffers(scene)
     N = args.frames
 
