@@ -194,7 +194,14 @@ def trace_rays(
             method == "auto" and jax.default_backend() == "tpu"
         )
         if scene.num_tris <= bruteforce_max_tris:
-            method = "bruteforce"
+            # Round-4 rework made the hand-written stream kernel ~2x the
+            # fused XLA dense path on the small-scene class (cornell
+            # 2.07M rays: 193 vs 99 Mrays/s raw, tools/bench_pallas_small
+            # .py): pack_triangles trims the static all-invalid tail (32
+            # real tris = 4 sublane tiles, not 16) and the resident path
+            # runs RAY_ROWS=8 ray blocks per grid step (1-block steps
+            # were ~1.5 KB DMAs — per-step overhead bound the kernel).
+            method = "pallas" if on_tpu else "bruteforce"
         elif on_tpu:
             method = "pallas_tiled"
         elif scene.num_tris > 16384 or method == "auto_xla":
@@ -549,12 +556,15 @@ def _trace_pallas(scene, o, d, maxd, excl, lo, hi):
     non-TPU backends (correctness testing)."""
     from hikari_tpu.trace.pallas_kernel import (
         RAY_BLOCK,
+        RAY_ROWS,
         pack_triangles,
         trace_pallas,
     )
 
     R = o.shape[0]
-    Rp = -(-R // RAY_BLOCK) * RAY_BLOCK
+    # RAY_ROWS blocks per resident grid step; padded rays are inert
+    # (maxd=0, hi=0 -> no test passes).
+    Rp = -(-R // (RAY_BLOCK * RAY_ROWS)) * (RAY_BLOCK * RAY_ROWS)
 
     def pad(x, fill=0.0):
         if Rp == R:

@@ -39,21 +39,22 @@ from jax.experimental.pallas import tpu as pltpu
 from hikari_tpu.config import F32_EPSILON, F32_MAX
 
 RAY_BLOCK = 128  # rays per grid step (one lane tile)
+RAY_ROWS = 8  # ray blocks per RESIDENT grid step (amortizes per-step DMA)
 TRI_SUBLANES = 8  # triangles per inner iteration (one sublane tile)
 TRI_TILE = 2048  # triangles streamed per grid step (128 KB of VMEM)
 
 
-def _load_rays(o_ref, d_ref, maxd_ref, excl_ref, lo_ref, hi_ref):
+def _load_rays(o_ref, d_ref, maxd_ref, excl_ref, lo_ref, hi_ref, k=0):
     S, B = TRI_SUBLANES, RAY_BLOCK
 
     def bc_ray(x):  # (B,) -> (S, B) sublane broadcast
         return jnp.broadcast_to(x.reshape(1, B), (S, B))
 
     return (
-        bc_ray(o_ref[0, 0, :]), bc_ray(o_ref[0, 1, :]), bc_ray(o_ref[0, 2, :]),
-        bc_ray(d_ref[0, 0, :]), bc_ray(d_ref[0, 1, :]), bc_ray(d_ref[0, 2, :]),
-        bc_ray(maxd_ref[0, 0, :]), bc_ray(excl_ref[0, 0, :]),
-        bc_ray(lo_ref[0, 0, :]), bc_ray(hi_ref[0, 0, :]),
+        bc_ray(o_ref[k, 0, :]), bc_ray(o_ref[k, 1, :]), bc_ray(o_ref[k, 2, :]),
+        bc_ray(d_ref[k, 0, :]), bc_ray(d_ref[k, 1, :]), bc_ray(d_ref[k, 2, :]),
+        bc_ray(maxd_ref[k, 0, :]), bc_ray(excl_ref[k, 0, :]),
+        bc_ray(lo_ref[k, 0, :]), bc_ray(hi_ref[k, 0, :]),
     )
 
 
@@ -114,7 +115,7 @@ def _tri_loop(tri_ref, rays, base, n_iters, carry):
     return jax.lax.fori_loop(0, n_iters, body, carry)
 
 
-def _reduce_sublanes(t8, p8, u8, v8, t_out, prim_out, u_out, v_out):
+def _reduce_sublanes(t8, p8, u8, v8, t_out, prim_out, u_out, v_out, k=0):
     """Cross-sublane select tree: resolve the per-ray winner among the 8
     per-sublane running bests (log2(8) = 3 halving steps)."""
 
@@ -132,10 +133,10 @@ def _reduce_sublanes(t8, p8, u8, v8, t_out, prim_out, u_out, v_out):
     t2, p2, u2, v2 = halve(t4, p4, u4, v4, 2)
     t1, p1, u1, v1 = halve(t2, p2, u2, v2, 1)
 
-    t_out[0, 0, :] = t1[0]
-    prim_out[0, 0, :] = p1[0].astype(jnp.int32)
-    u_out[0, 0, :] = u1[0]
-    v_out[0, 0, :] = v1[0]
+    t_out[k, 0, :] = t1[0]
+    prim_out[k, 0, :] = p1[0].astype(jnp.int32)
+    u_out[k, 0, :] = u1[0]
+    v_out[k, 0, :] = v1[0]
 
 
 def _kernel_resident(
@@ -144,21 +145,24 @@ def _kernel_resident(
 ):
     """Fast path: the whole (padded) triangle table is VMEM-resident and
     the running best lives in registers across one fori_loop — no scratch
-    round-trips, 1D grid over ray blocks. Used when the table fits
-    (<= TRI_TILE triangles)."""
+    round-trips, 1D grid over RAY_ROWS-block ray super-blocks. Used when
+    the table fits (<= TRI_TILE triangles). RAY_ROWS ray blocks per grid
+    step amortize the per-step block DMA/bookkeeping: one (1,·,128) ray
+    block is ~1.5 KB — at 16k grid steps per 2M-ray trace the per-step
+    overhead, not the pair tests, bounded the round-3 kernel."""
     S, B = TRI_SUBLANES, RAY_BLOCK
-    rays = _load_rays(o_ref, d_ref, maxd_ref, excl_ref, lo_ref, hi_ref)
-    maxd = rays[6]
-    init = (
-        jnp.minimum(maxd, F32_MAX),
-        jnp.full((S, B), -1.0, dtype=jnp.float32),
-        jnp.zeros((S, B)),
-        jnp.zeros((S, B)),
-    )
-    carry = _tri_loop(
-        tri_ref, rays, jnp.float32(0.0), tri_ref.shape[0] // S, init
-    )
-    _reduce_sublanes(*carry, t_out, prim_out, u_out, v_out)
+    n_iters = tri_ref.shape[0] // S
+    for k in range(RAY_ROWS):
+        rays = _load_rays(o_ref, d_ref, maxd_ref, excl_ref, lo_ref, hi_ref, k)
+        maxd = rays[6]
+        init = (
+            jnp.minimum(maxd, F32_MAX),
+            jnp.full((S, B), -1.0, dtype=jnp.float32),
+            jnp.zeros((S, B)),
+            jnp.zeros((S, B)),
+        )
+        carry = _tri_loop(tri_ref, rays, jnp.float32(0.0), n_iters, init)
+        _reduce_sublanes(*carry, t_out, prim_out, u_out, v_out, k)
 
 
 def _kernel_streamed(
@@ -219,6 +223,16 @@ def pack_triangles(scene) -> jax.Array:
         ],
         axis=1,
     )
+    # The scene buffers pad triangles to CLUSTER granularity (cornell:
+    # 32 real tris ride a 128-row buffer); the tail rows are all-invalid
+    # by construction (padding appended at compile), so trimming them is
+    # exact — and on the sublane layout it is a REAL saving (32 tris = 4
+    # sublane tiles instead of 16), unlike XLA's lane layout where
+    # (R, 32) pads back to 128 lanes anyway. Dynamically deactivated
+    # instances (inst_active streaming) sit before num_tris and keep
+    # their runtime valid=0 masking.
+    P = min(P, -(-int(scene.num_tris) // TRI_SUBLANES) * TRI_SUBLANES)
+    packed = packed[:P]
     # Resident path (<= TRI_TILE tris): pad only to a sublane multiple so
     # small scenes don't iterate over a full tile of padding; streaming
     # path: pad to whole tiles.
@@ -248,14 +262,17 @@ def trace_pallas(packed_tris, o, d, maxd, excl, lo, hi, interpret=False):
         return x.astype(jnp.float32).reshape(G, 1, RAY_BLOCK)
 
     if GT == 1:
+        # G is padded to a RAY_ROWS multiple by the caller (_trace_pallas).
         ray_spec = pl.BlockSpec(
-            (1, 1, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (RAY_ROWS, 1, RAY_BLOCK), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
         )
         vec_spec = pl.BlockSpec(
-            (1, 3, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (RAY_ROWS, 3, RAY_BLOCK), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
         )
         kernel = _kernel_resident
-        grid = (G,)
+        grid = (G // RAY_ROWS,)
         tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole table
         scratch = []
     else:
