@@ -250,10 +250,19 @@ def pack_triangles(scene) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def trace_pallas(packed_tris, o, d, maxd, excl, lo, hi, interpret=False):
     """Closest-hit over all rays. o/d: (R, 3); scalars (R,). R must be a
-    multiple of RAY_BLOCK (caller pads)."""
+    multiple of RAY_BLOCK; on the resident path (scene fits one triangle
+    tile) it must be a multiple of RAY_BLOCK * RAY_ROWS — the caller
+    (_trace_pallas) pads to that. A bare RAY_BLOCK multiple would
+    silently truncate the grid and leave trailing output blocks
+    unwritten (ADVICE r4)."""
     R = o.shape[0]
     G = R // RAY_BLOCK
     GT = max(1, packed_tris.shape[0] // TRI_TILE)
+    if GT == 1 and G % RAY_ROWS != 0:
+        raise ValueError(
+            f"resident pallas trace needs R % {RAY_BLOCK * RAY_ROWS} == 0 "
+            f"(got R={R}); pad rays like trace/api._trace_pallas does"
+        )
 
     o_t = o.T.reshape(3, G, RAY_BLOCK).swapaxes(0, 1)  # (G, 3, B)
     d_t = d.T.reshape(3, G, RAY_BLOCK).swapaxes(0, 1)

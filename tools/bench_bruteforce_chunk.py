@@ -1,8 +1,10 @@
 """A/B the brute-force ray-chunk size on the real chip: 2.07M-ray
 cornell-scale primary trace, scan-folded + value-fetch timing (CLAUDE.md
-tunnel doctrine). The old fixed 8192-ray chunk ran 253 sequential scan
-iterations per trace; the adaptive chunk (trace/api._bruteforce_ray_chunk)
-sizes iterations by the triangle-block width instead."""
+tunnel doctrine). Patches the module constant trace/api.RAY_CHUNK (the
+knob _trace_bruteforce actually reads) per sweep point; the fixed 8192
+default runs 253 sequential scan iterations per trace. Round-4 verdict:
+8192 = 21.0 ms/trace, 32768 = 21.3, 131072 = 31.9 — big chunks spill the
+fused pair-test intermediates from VMEM to HBM; 8192 stays."""
 
 from __future__ import annotations
 
@@ -53,14 +55,13 @@ def main():
 
         return jax.jit(run)
 
-    for label, chunk_fn in [
-        ("8192", lambda block: 8192),
-        ("32768", lambda block: 32768),
-        ("131072", lambda block: 131072),
+    for label, chunk in [
+        ("8192", 8192),
+        ("32768", 32768),
+        ("131072", 131072),
     ]:
-        orig = api._bruteforce_ray_chunk
-        if chunk_fn is not None:
-            api._bruteforce_ray_chunk = chunk_fn
+        orig = api.RAY_CHUNK
+        api.RAY_CHUNK = chunk
         try:
             n = 8
             f = folded(n)
@@ -75,7 +76,7 @@ def main():
                 f"({R*n/dt/1e6:.1f} Mrays/s)"
             )
         finally:
-            api._bruteforce_ray_chunk = orig
+            api.RAY_CHUNK = orig
 
 
 if __name__ == "__main__":
