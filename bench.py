@@ -90,6 +90,20 @@ def build_bench_case(config: str, frames: int):
         denoise=True,
         indirect_bounces=1,
     )
+    # Reprojection specialization (config.py RenderSettings.reproject):
+    # default from the round-5 tools/ab_bench.py matrix on the driver
+    # chip (1080p cornell fwd+grad, ms/frame):
+    #   remat=0: adaptive 690.4 | shift 644.6 | gather 631.6  <- winner
+    #   remat=1: adaptive 817.6 | shift 794.3 | gather 777.6
+    # The frame-level adaptive cond costs ~59 ms under fwd+grad (residual
+    # union + lost fusion) and the round-4 shift branch is 13 ms WORSE
+    # than the plain gather path once the cond is gone — so the bench
+    # compiles the general gather remainder statically.
+    settings = settings.replace(
+        reproject=os.environ.get("HIKARI_BENCH_REPROJECT", "gather"),
+        channel_remat=os.environ.get("HIKARI_BENCH_CHANNEL_REMAT", "0")
+        == "1",
+    )
     if os.environ.get("HIKARI_BENCH_REMAT", "0") == "0":
         # No pass-level remat in the bench configs: with the round-4
         # static-frame fast paths the full-residual fwd+grad scan fits in

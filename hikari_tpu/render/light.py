@@ -585,10 +585,25 @@ def direct_lit_pass(
             de_spatial_prev,
         )
     else:
+        val_fn = validation_branch
+        samp_fn = sampling_branch
+        if settings.channel_remat:
+            # Estimator-chain remat (config.py channel_remat): each
+            # branch recomputes its candidate->stable_div->temporal_restir
+            # chain in the backward sweep from the branch inputs + the
+            # named trace hits, instead of lax.cond materializing the
+            # residual UNION of both branches every frame. jax.checkpoint
+            # lifts closed-over tracers (s, g, scene) into the jaxpr and
+            # differentiates them correctly.
+            _pol = jax.checkpoint_policies.save_only_these_names(
+                "trace_hits", "packed_rows"
+            )
+            val_fn = jax.checkpoint(validation_branch, policy=_pol)
+            samp_fn = jax.checkpoint(sampling_branch, policy=_pol)
         r_sampled, sp_after = jax.lax.cond(
             is_validation_frame,
-            lambda rr, sp: validation_branch(rr, sp),
-            lambda rr, sp: (sampling_branch(rr, jnp.ones((rh, rw), dtype=bool)), sp),
+            lambda rr, sp: val_fn(rr, sp),
+            lambda rr, sp: (samp_fn(rr, jnp.ones((rh, rw), dtype=bool)), sp),
             r,
             de_spatial_prev,
         )

@@ -184,7 +184,7 @@ def render_frame(
     # docs/ROOFLINE.md round 4.
     from hikari_tpu.render.filters import reproject_mode as _rmode
 
-    _req = _rmode("adaptive")
+    _req = _rmode(settings.reproject)
     if _req != "adaptive":
         return _frame_rest(
             _req, scene, camera, state, settings, noise_bank, denoise_fn,

@@ -360,7 +360,10 @@ def trace_pallas_tiled(
     inv_d = safe_inv_dir(d).reshape(T, TILE_R_, 3)
     maxdt = maxd.reshape(T, TILE_R_)
     entry_min, ray_maxent = tile_cluster_entries(
-        cmin, cmax, cvalid, ot, inv_d, maxdt
+        cmin, cmax, cvalid, ot, inv_d, maxdt,
+        lo.astype(jnp.float32).reshape(T, TILE_R_),
+        hi.astype(jnp.float32).reshape(T, TILE_R_),
+        CLUSTER_,
     )  # (T, L), (T, TILE_R_)
     order = jnp.argsort(entry_min, axis=1).astype(jnp.int32)
     entry_sorted = jnp.take_along_axis(entry_min, order, axis=1)

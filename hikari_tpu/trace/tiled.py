@@ -86,7 +86,10 @@ def _packed_tris(scene):
     return packed
 
 
-def tile_cluster_entries(cmin, cmax, cvalid, ot, inv_d, maxdt):
+def tile_cluster_entries(
+    cmin, cmax, cvalid, ot, inv_d, maxdt, lot=None, hit_=None,
+    cluster: int = CLUSTER,
+):
     """Per-tile min cluster entry distances: slab-test each ray against
     each cluster AABB in (SUB_R, L) sub-blocks. ot/inv_d: (T, TILE_R, 3);
     maxdt: (T, TILE_R). Returns (entries (T, L), ray_maxent (T, TILE_R)):
@@ -103,29 +106,54 @@ def tile_cluster_entries(cmin, cmax, cvalid, ot, inv_d, maxdt):
     pixels, unoccluded shadow rays — most of a city frame) keep best_t
     at max_distance and hold their whole tile in the walk for every
     cluster any neighbor might need (the round-4 city finding: 6
-    trace dispatches at ~1 Mrays/s = ~95% of the 817 ms frame)."""
+    trace dispatches at ~1 Mrays/s = ~95% of the 817 ms frame).
 
-    def tile_entry(ob, ib, mb):
-        # ob/ib: (SUB_R, 3); mb: (SUB_R,) maxd. -> ((L,), (SUB_R,))
+    ``lot``/``hit_`` (optional, (T, TILE_R) f32): the per-ray primitive
+    range restriction [lo, hi). Clusters are CONTIGUOUS primitive chunks
+    (``cluster`` prims each, BLAS DFS-leaf order), so a cluster whose
+    index range misses [lo, hi) can be pruned here — phase 2's per-prim
+    range mask would reject every test in it anyway. This is the whole
+    trace for instance-restricted target rays (select_light_candidate's
+    emissive target pick restricts to ONE instance's prims: on the 551k-
+    tri city a ray needs ~2 of 2154 clusters) and retires range-empty
+    rays (hi=0 pixels with no emissive pick) before the walk starts."""
+
+    def tile_entry(ob, ib, mb, lb, hb):
+        # ob/ib: (SUB_R, 3); mb/lb/hb: (SUB_R,). -> ((L,), (SUB_R,))
         t0 = (cmin[None] - ob[:, None]) * ib[:, None]  # (SUB_R, L, 3)
         t1 = (cmax[None] - ob[:, None]) * ib[:, None]
         tlo = jnp.minimum(t0, t1).max(axis=-1)
         thi = jnp.maximum(t0, t1).min(axis=-1)
         entry = jnp.maximum(tlo, 0.0)
         hit = (thi >= entry) & (entry < mb[:, None]) & cvalid[None]
+        if lb is not None:
+            # Cluster prim range [c*cluster, (c+1)*cluster) must meet the
+            # ray's [lo, hi). f32 compares are exact below 2^24 prims
+            # (asserted by the callers' prim_id lane packing).
+            L_ = cmin.shape[0]
+            c_lo = jnp.arange(L_, dtype=jnp.float32) * cluster  # (L,)
+            hit = hit & (c_lo[None] < hb[:, None]) & (
+                (c_lo + cluster)[None] > lb[:, None]
+            )
         e = jnp.where(hit, entry, F32_MAX)
         rm = jnp.where(hit, entry, -1.0).max(axis=1)  # (SUB_R,)
         return e.min(axis=0), rm
 
+    have_range = lot is not None
+    if not have_range:
+        lot = jnp.zeros_like(maxdt)
+        hit_ = jnp.zeros_like(maxdt)
+
     def per_tile(args):
-        oT, iT, mT = args
+        oT, iT, mT, lT, hT = args
         subs = ot.shape[1] // SUB_R
         es, rms = [], []
         for s in range(subs):
+            sl = slice(s * SUB_R, (s + 1) * SUB_R)
             e, rm = tile_entry(
-                oT[s * SUB_R : (s + 1) * SUB_R],
-                iT[s * SUB_R : (s + 1) * SUB_R],
-                mT[s * SUB_R : (s + 1) * SUB_R],
+                oT[sl], iT[sl], mT[sl],
+                lT[sl] if have_range else None,
+                hT[sl] if have_range else None,
             )
             es.append(e)
             rms.append(rm)
@@ -140,7 +168,7 @@ def tile_cluster_entries(cmin, cmax, cvalid, ot, inv_d, maxdt):
     per_tile_bytes = SUB_R * L * 3 * 4
     chunk = int(max(1, min(ot.shape[0], (256 << 20) // max(per_tile_bytes, 1))))
     return jax.lax.map(
-        per_tile, (ot, inv_d, maxdt), batch_size=chunk
+        per_tile, (ot, inv_d, maxdt, lot, hit_), batch_size=chunk
     )  # ((T, L), (T, TILE_R))
 
 
@@ -176,7 +204,7 @@ def trace_tiled(scene, o, d, maxd, early, excl, lo, hi):
     # ---- phase 1: per-tile cluster entry distances ----
     inv_d = safe_inv_dir(dt)
     entry_min, ray_maxent = tile_cluster_entries(
-        cmin, cmax, cvalid, ot, inv_d, maxdt
+        cmin, cmax, cvalid, ot, inv_d, maxdt, lot, hit_, CLUSTER
     )
     order = jnp.argsort(entry_min, axis=1)  # (T, L) near-to-far
     entry_sorted = jnp.take_along_axis(entry_min, order, axis=1)

@@ -424,3 +424,32 @@ def test_reservoir_reproject_branches_equal(rng, monkeypatch):
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
     for x1, x2 in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_pipeline_reproject_setting_equivalence():
+    """settings.reproject ("adaptive" | "shift" | "gather") must produce
+    the SAME image on a static scene: the host-level static hint
+    ("shift") is only a legal specialization because the zero-velocity
+    frame makes all three transports bitwise-identical (config.py
+    RenderSettings.reproject; the bench relies on this)."""
+    from hikari_tpu.config import RenderSettings, Taa, Upscale
+    from hikari_tpu.io.scenes import cornell_config
+    from hikari_tpu.render import initial_state, render_frame_jit
+    from hikari_tpu.scene import build_scene_buffers
+
+    scene, cam, _ = cornell_config(size=32)
+    outs = {}
+    for mode in ("adaptive", "shift", "gather"):
+        s = RenderSettings(
+            width=32, height=32, upscale=Upscale.smaa_tu4x(2.0),
+            taa=Taa.JASMINE, denoise=True, indirect_bounces=1,
+            reproject=mode,
+        )
+        b = build_scene_buffers(scene)
+        st = initial_state(s)
+        out = None
+        for _ in range(3):
+            out, st = render_frame_jit(b, cam, st, s)
+        outs[mode] = np.asarray(out.image)
+    np.testing.assert_allclose(outs["adaptive"], outs["shift"], atol=1e-5)
+    np.testing.assert_allclose(outs["adaptive"], outs["gather"], atol=1e-5)

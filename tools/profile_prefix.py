@@ -32,6 +32,14 @@ def main():
     ap.add_argument("--grad", action="store_true")
     ap.add_argument("--no-remat", action="store_true",
                     help="profile the bench's no-remat config")
+    ap.add_argument(
+        "--reproject", default="adaptive",
+        choices=("adaptive", "shift", "gather"),
+        help="settings.reproject specialization (match the bench config "
+        "when attributing its frame)",
+    )
+    ap.add_argument("--channel-remat", action="store_true",
+                    help="settings.channel_remat (estimator-chain remat)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
         "--stages", default="",
@@ -71,6 +79,9 @@ def main():
     )
     if args.no_remat:
         base = base.replace(remat=False)
+    base = base.replace(
+        reproject=args.reproject, channel_remat=args.channel_remat
+    )
     buffers = build_scene_buffers(scene)
     N = args.frames
 
