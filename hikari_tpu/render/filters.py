@@ -186,12 +186,24 @@ def pack_window_gather(specs, ky, kx):
 
     Clamp semantics: per-tap clamp-to-edge from the UNCLAMPED base
     (shared edge padding), provided the caller clamps (ky, kx) into the
-    image — exact WGSL sampler behavior for any in-image base."""
+    image — exact WGSL sampler behavior for any in-image base.
+
+    A spec may carry a 4th element ``reduce=(ry, rx)``: each packed
+    channel is then the elementwise MAX over the (ry, rx) sub-window
+    starting at its tap offset, built as maxes of slices of the SAME
+    edge-padded plane — so the clamp semantics compose exactly
+    (max of per-texel-clamped values). This collapses any
+    "OR over a window of monotone threshold tests" consumer (e.g. the
+    SMAA disocclusion ratio test: cur/pd < 0.95 for ANY pd in the 2x2
+    gather ⟺ cur/max(pd) < 0.95, IEEE division being monotone in the
+    denominator) from ry*rx channels per tap to ONE — SMAA's depth
+    window shrinks 64 -> 25 packed channels."""
     parts, index, off = [], {}, 0
     src_w = None
     for si, spec in enumerate(specs):
         img, taps = spec[0], list(spec[1])
         chs = spec[2] if len(spec) > 2 else None
+        red = spec[3] if len(spec) > 3 else None
         h, w = img.shape[0], img.shape[1]
         if src_w is None:
             src_w = (h, w)
@@ -203,13 +215,22 @@ def pack_window_gather(specs, ky, kx):
             chans = [img[..., c] for c in chs]
         dys = [t[0] for t in taps]
         dxs = [t[1] for t in taps]
-        pt, pb = max(-min(dys), 0), max(max(dys), 0)
-        pl, pr = max(-min(dxs), 0), max(max(dxs), 0)
+        ry, rx = red if red is not None else (1, 1)
+        pt, pb = max(-min(dys), 0), max(max(dys) + ry - 1, 0)
+        pl, pr = max(-min(dxs), 0), max(max(dxs) + rx - 1, 0)
         planes = [jnp.pad(c, ((pt, pb), (pl, pr)), mode="edge") for c in chans]
         C = len(planes)
         for dy, dx in taps:
             for p in planes:
-                parts.append(p[pt + dy : pt + dy + h, pl + dx : pl + dx + w])
+                acc = None
+                for ddy in range(ry):
+                    for ddx in range(rx):
+                        s = p[
+                            pt + dy + ddy : pt + dy + ddy + h,
+                            pl + dx + ddx : pl + dx + ddx + w,
+                        ]
+                        acc = s if acc is None else jnp.maximum(acc, s)
+                parts.append(acc)
             index[(si, dy, dx)] = (off, C)
             off += C
     rows = gather_packed_rows(pack_rows(parts), src_w[1], ky, kx)
@@ -233,12 +254,24 @@ def identity_window_accessor(specs, base_dy: int = 0, base_dx: int = 0):
         spec = specs[si]
         img = spec[0]
         chs = spec[2] if len(spec) > 2 else None
+        red = spec[3] if len(spec) > 3 else None
         if img.ndim == 2:
             chans = [img]
         else:
             chs = range(img.shape[-1]) if chs is None else chs
             chans = [img[..., c] for c in chs]
-        return [edge_shift(c, base_dy + dy, base_dx + dx) for c in chans]
+        if red is None:
+            return [edge_shift(c, base_dy + dy, base_dx + dx) for c in chans]
+        ry, rx = red
+        out = []
+        for c in chans:
+            acc = None
+            for ddy in range(ry):
+                for ddx in range(rx):
+                    s = edge_shift(c, base_dy + dy + ddy, base_dx + dx + ddx)
+                    acc = s if acc is None else jnp.maximum(acc, s)
+            out.append(acc)
+        return out
 
     return at
 

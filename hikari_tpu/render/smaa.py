@@ -42,14 +42,11 @@ def _lum_planes(r, g, b):
     return 0.2126 * r + 0.7152 * g + 0.0722 * b
 
 
-def _nearest_velocity_quad(pos_tap, vel_tap):
-    """taa.nearest_velocity evaluated at the static-affine quad uv
-    (taa.wgsl:54-73): the 4 diagonal depth taps and the dilated velocity
-    fetch all land on out-res texels (2y + j + c) — strided channel-plane
-    taps, zero gathers. The dilation offset per axis is a small integer
-    (the sum of tied max-depth tap signs, in [-2, 2]), so the final
-    velocity fetch is a 25-way select over strided taps. Returns
-    (vel_x, vel_y) planes."""
+def _velocity_dilation_offsets(pos_tap):
+    """The depth half of taa.nearest_velocity at the static-affine quad uv
+    (taa.wgsl:54-73): 4 diagonal depth taps pick the farthest-depth
+    direction; the dilation offset per axis is the sum of tied max-depth
+    tap signs, in [-2, 2]. Returns (sy, sx) i32 planes."""
     # offs order matches taa.nearest_velocity: (ox, oy) signs
     signs = [(1.0, 1.0), (-1.0, 1.0), (1.0, -1.0), (-1.0, -1.0)]
     depths = [pos_tap(int(oy), int(ox), 3) for ox, oy in signs]
@@ -66,6 +63,14 @@ def _nearest_velocity_quad(pos_tap, vel_tap):
     take = depth < max_depth
     sx = jnp.where(take, sx, 0.0).astype(jnp.int32)
     sy = jnp.where(take, sy, 0.0).astype(jnp.int32)
+    return sy, sx
+
+
+def _nearest_velocity_quad(pos_tap, vel_tap):
+    """Dilated-velocity fetch via a 25-way select over strided taps
+    (zero gathers). Kept for A/B (HIKARI_VELQ_SELECT=1) against the
+    packed-row gather variant below."""
+    sy, sx = _velocity_dilation_offsets(pos_tap)
     vel_x = vel_tap(0, 0, 0)
     vel_y = vel_tap(0, 0, 1)
     for dy in range(-2, 3):
@@ -76,6 +81,27 @@ def _nearest_velocity_quad(pos_tap, vel_tap):
             vel_x = jnp.where(m, vel_tap(dy, dx, 0), vel_x)
             vel_y = jnp.where(m, vel_tap(dy, dx, 1), vel_y)
     return vel_x, vel_y
+
+
+def _nearest_velocity_quad_gather(pos_tap, velocity_uv, prev_j):
+    """Dilated-velocity fetch as ONE packed row gather: the 25-way
+    select chain costs ~50 strided taps + selects (~0.7 ms/tap measured
+    in-pipeline, tools/bench_smaa_iso.py); a single (h*w)-row gather of
+    the 2-channel out-res velocity at the per-pixel dilated coordinate
+    is one ~6 ms fetch. Bitwise-equal to _nearest_velocity_quad (same
+    clamp + offsets; tests/test_gather_rework.py)."""
+    from hikari_tpu.render.filters import gather_packed_rows, pack_rows
+
+    sy, sx = _velocity_dilation_offsets(pos_tap)
+    oh, ow = velocity_uv.shape[0], velocity_uv.shape[1]
+    h, w = oh // 2, ow // 2
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    oy = jnp.clip(2 * ys + prev_j + sy, 0, oh - 1)
+    ox = jnp.clip(2 * xs + prev_j + sx, 0, ow - 1)
+    rows = gather_packed_rows(
+        pack_rows([velocity_uv[..., 0], velocity_uv[..., 1]]), ow, oy, ox
+    )
+    return rows[..., 0], rows[..., 1]
 
 
 def smaa_tu4x(
@@ -112,10 +138,17 @@ def smaa_tu4x(
     # out-res texel (2y + j + c) — strided channel-plane slices via
     # quad_phase_sampler, zero gathers (only velocity-dependent
     # reprojection fetches below remain true gathers).
+    import os as _os
+
     pos_tap = quad_phase_sampler(gbuffer.position, prev_j)
-    vel_tap = quad_phase_sampler(gbuffer.velocity_uv, prev_j)
     inst_tap = quad_phase_sampler(gbuffer.instance.astype(jnp.float32), prev_j)
-    vel_x, vel_y = _nearest_velocity_quad(pos_tap, vel_tap)
+    if _os.environ.get("HIKARI_VELQ_SELECT"):
+        vel_tap = quad_phase_sampler(gbuffer.velocity_uv, prev_j)
+        vel_x, vel_y = _nearest_velocity_quad(pos_tap, vel_tap)
+    else:
+        vel_x, vel_y = _nearest_velocity_quad_gather(
+            pos_tap, gbuffer.velocity_uv, prev_j
+        )
     if stop == "velq":
         return _trunc(cur_r, cur_g, cur_b, vel_x, vel_y)
 
@@ -155,11 +188,27 @@ def smaa_tu4x(
     bit_y = fry >= 0.5
 
     DPTH, INST, PREV, PVEL = 0, 1, 2, 3
+    # DPTH channels are 2x2-MAXED prev-depth windows (reduce=(2, 2)): the
+    # disocclusion test below ORs `cur/pd < 0.95` over each biased 2x2
+    # textureGather, which is exactly `cur/max(pd) < 0.95` (IEEE division
+    # is monotone in the denominator; pd==0 taps can never win the max
+    # into a false miss since depths are >= 0). 25 packed channels
+    # instead of the 64 per-texel ones (measured: the pack build is the
+    # cost, ~28 ms/GB of table).
+    # Tap lists are the USED offsets only, not the per-axis cross: the
+    # biased gathers only ever request sign-pair combos (+2.5/-2.5 per
+    # axis) or the unbiased (0, 0) — the cross's mixed rows like (0, 2)
+    # are never fetched. DPTH 25 -> 17 channels, INST 16 -> 8.
     specs = [
-        (prev_gbuffer.position, cross(range(-3, 5), range(-3, 5)), (3,)),
+        (
+            prev_gbuffer.position[..., 3],
+            [(0, 0)] + cross((2, 3, -3, -2), (2, 3, -3, -2)),
+            None,
+            (2, 2),
+        ),
         (
             prev_gbuffer.instance.astype(jnp.float32),
-            cross((-2, 0, 1, 3), (-2, 0, 1, 3)),
+            cross((0, 1), (0, 1)) + cross((3, -2), (3, -2)),
         ),
         (prev_upscaled, cross((0, 1), (0, 1)), (0, 1, 2)),
         (prev_gbuffer.velocity_uv, cross((0, 1), (0, 1)), (0, 1)),
@@ -177,13 +226,29 @@ def smaa_tu4x(
         def at(si, dy, dx):
             img = specs[si][0]
             chs = specs[si][2] if len(specs[si]) > 2 else None
+            red = specs[si][3] if len(specs[si]) > 3 else None
             if si not in samplers:
                 samplers[si] = quad_phase_sampler(img, prev_j, pad=6)
             tap = samplers[si]
+
+            def one(c):
+                if red is None:
+                    return tap(dy, dx, c)
+                # Max-reduced window channel (mirrors pack_window_gather's
+                # reduce): max of per-texel-clamped taps == clamped
+                # window max.
+                ry, rx = red
+                acc = None
+                for ddy in range(ry):
+                    for ddx in range(rx):
+                        s = tap(dy + ddy, dx + ddx, c)
+                        acc = s if acc is None else jnp.maximum(acc, s)
+                return acc
+
             if img.ndim == 2:
-                return [tap(dy, dx, 0)]
+                return [one(0)]
             chs = range(img.shape[-1]) if chs is None else chs
-            return [tap(dy, dx, c) for c in chs]
+            return [one(c) for c in chs]
 
         return at
 
@@ -212,22 +277,16 @@ def smaa_tu4x(
         instance_miss = jnp.zeros((h, w), dtype=bool)
         biases = [(0.0, 0.0), (2.5, 2.5), (-2.5, 2.5), (2.5, -2.5), (-2.5, -2.5)]
         for bx, by in biases:
-            gy, gx = gather_base(by), gather_base(bx)
-
-            def corner(dy, dx):
-                oy = gy + dy if isinstance(gy, int) else (gy[0] + dy, gy[1] + dy)
-                ox = gx + dx if isinstance(gx, int) else (gx[0] + dx, gx[1] + dx)
-                return dyn_at(DPTH, oy, ox)[0]
-
-            miss_here = None
-            for dy in (0, 1):
-                for dx in (0, 1):
-                    pd = corner(dy, dx)
-                    ratio = jnp.where(
-                        pd == 0.0, 1.0, cur_depth / jnp.where(pd == 0.0, 1.0, pd)
-                    )
-                    m = ratio < 0.95
-                    miss_here = m if miss_here is None else (miss_here | m)
+            # One 2x2-maxed depth channel per biased textureGather (the
+            # DPTH spec's reduce): OR of per-corner `cur/pd < 0.95` ==
+            # `cur/max(pd) < 0.95` (division monotone in denominator;
+            # max(pd)==0 means all corners were 0 == all ratios 1).
+            maxpd = dyn_at(DPTH, gather_base(by), gather_base(bx))[0]
+            miss_here = jnp.where(
+                maxpd == 0.0,
+                False,
+                cur_depth / jnp.where(maxpd == 0.0, 1.0, maxpd) < 0.95,
+            )
             depth_miss = depth_miss | miss_here
             prev_instance = dyn_at(INST, nearest_off(by), nearest_off(bx))[0]
             instance_miss = instance_miss | (

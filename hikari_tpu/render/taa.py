@@ -297,9 +297,24 @@ def taa_jasmine(
     bit_y = fry >= 0.5
 
     DEPTH, POS, VEL, HIST = 0, 1, 2, 3
+    # DEPTH channels are 2x2-MAXED windows (reduce=(2, 2), see
+    # filters.pack_window_gather): the bias loop's two OR-reductions over
+    # each 2x2 gather — any(pd > 0) and any(cur/pd < 0.95) — are both
+    # monotone in pd, so one maxed channel serves both. Tap lists carry
+    # only the USED offsets (sign-pair combos + the unbiased base), not
+    # the per-axis cross: 36 -> 17 depth channels, 48 -> 24 position.
     specs = [
-        (prev_gbuffer.position, cross(range(-2, 4), range(-2, 4)), (3,)),
-        (prev_gbuffer.position, cross(range(-1, 3), range(-1, 3)), (0, 1, 2)),
+        (
+            prev_gbuffer.position[..., 3],
+            [(0, 0)] + cross((1, 2, -2, -1), (1, 2, -2, -1)),
+            None,
+            (2, 2),
+        ),
+        (
+            prev_gbuffer.position,
+            cross((0, 1), (0, 1)) + cross((2, -1), (2, -1)),
+            (0, 1, 2),
+        ),
         (prev_gbuffer.velocity_uv, cross((0, 1), (0, 1)), (0, 1)),
         (previous_render, CATMULL_TAPS, (0, 1, 2)),
     ]
@@ -378,27 +393,18 @@ def _taa_consume(
         (-1.5, -1.5),
     ]
     for bx, by in biases:
-        gy, gx = gather_base(by), gather_base(bx)
-
-        def corner(dy, dx):
-            oy = gy + dy if isinstance(gy, int) else (gy[0] + dy, gy[1] + dy)
-            ox = gx + dx if isinstance(gx, int) else (gx[0] + dx, gx[1] + dx)
-            return dyn_at(DEPTH, oy, ox)[0]
-
-        any_content = None
-        any_miss = None
-        for dy in (0, 1):
-            for dx in (0, 1):
-                pd = corner(dy, dx)
-                ratio = jnp.where(
-                    pd == 0.0, 1.0, cur_depth / jnp.where(pd == 0.0, 1.0, pd)
-                )
-                c = pd > 0.0
-                m = ratio < 0.95
-                any_content = c if any_content is None else (any_content | c)
-                any_miss = m if any_miss is None else (any_miss | m)
-        has_content = has_content | any_content
-        depth_miss = depth_miss | any_miss
+        # One 2x2-maxed depth channel per biased textureGather (the DEPTH
+        # spec's reduce): any(pd > 0) == max(pd) > 0, and the OR of
+        # per-corner `cur/pd < 0.95` == `cur/max(pd) < 0.95` (IEEE
+        # division monotone in the denominator; max == 0 means every
+        # corner was 0 == every ratio forced to 1).
+        maxpd = dyn_at(DEPTH, gather_base(by), gather_base(bx))[0]
+        has_content = has_content | (maxpd > 0.0)
+        depth_miss = depth_miss | jnp.where(
+            maxpd == 0.0,
+            False,
+            cur_depth / jnp.where(maxpd == 0.0, 1.0, maxpd) < 0.95,
+        )
         ppx, ppy, ppz = dyn_at(POS, nearest_off(by), nearest_off(bx))
         dist2 = (
             (cur_px - ppx) ** 2 + (cur_py - ppy) ** 2 + (cur_pz - ppz) ** 2
