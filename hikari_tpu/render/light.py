@@ -33,7 +33,6 @@ from hikari_tpu.render.brdf import (
     shading,
 )
 from hikari_tpu.render.camera import Camera
-from hikari_tpu.render.noise import sample_noise
 from hikari_tpu.render.restir import (
     Reservoir,
     Sample,
@@ -288,9 +287,11 @@ def render_coords(render_size):
 
 def channel_random(noise_bank, frame_number, render_size):
     """Blue-noise 4D random + golden-ratio temporal scrambling
-    (light.wgsl:1075-1079)."""
-    ys, xs = render_coords(render_size)
-    r = sample_noise(noise_bank, frame_number, ys, xs)
+    (light.wgsl:1075-1079). Full-grid fetch takes the periodic tiled path
+    (render/noise.noise_plane) — zero gathers."""
+    from hikari_tpu.render.noise import noise_plane
+
+    r = noise_plane(noise_bank, frame_number, render_size)
     return fract(r + frame_number.astype(jnp.float32) * GOLDEN_RATIO)
 
 

@@ -83,6 +83,29 @@ def reference_noise_bank(
     return np.stack(planes)
 
 
+def noise_plane(bank, frame_number: int | "jax.Array", size_hw):
+    """``sample_noise`` evaluated at the full (h, w) pixel grid: the index
+    pattern (pixel + frame) % noise_size is PERIODIC with the 64-texel
+    tile, so the fetch is one dynamic texture pick + a roll + jnp.tile —
+    zero gathers, vs a ~6 ms (h*w)-row gather at render res on v5e.
+    Bitwise-equal to sample_noise on the meshgrid (tests/test_render.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    bank = jnp.asarray(bank)
+    count, size = bank.shape[0], bank.shape[1]
+    tex = jnp.mod(frame_number, count)
+    tile = jax.lax.dynamic_slice(
+        bank, (tex, 0, 0, 0), (1, size, size, bank.shape[3])
+    )[0]
+    shift = jnp.mod(frame_number, size)
+    rolled = jnp.roll(tile, (-shift, -shift), axis=(0, 1))
+    h, w = size_hw
+    out = jnp.tile(rolled, (-(-h // size), -(-w // size), 1))
+    return out[:h, :w, :]
+
+
 def sample_noise(bank, frame_number: int | "jax.Array", coords_y, coords_x):
     """Reference noise fetch (light.wgsl:1075-1079): texture index =
     frame % NOISE_TEXTURE_COUNT; uv = (pixel + frame + 0.5)/noise_size with

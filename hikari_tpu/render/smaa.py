@@ -49,8 +49,8 @@ def _velocity_dilation_offsets(pos_tap):
     tap signs, in [-2, 2]. Returns (sy, sx) i32 planes."""
     # offs order matches taa.nearest_velocity: (ox, oy) signs
     signs = [(1.0, 1.0), (-1.0, 1.0), (1.0, -1.0), (-1.0, -1.0)]
-    depths = [pos_tap(int(oy), int(ox), 3) for ox, oy in signs]
-    depth = pos_tap(0, 0, 3)
+    depths = [pos_tap(int(oy), int(ox)) for ox, oy in signs]
+    depth = pos_tap(0, 0)
     max_depth = depths[0]
     for d in depths[1:]:
         max_depth = jnp.maximum(max_depth, d)
@@ -140,7 +140,10 @@ def smaa_tu4x(
     # reprojection fetches below remain true gathers).
     import os as _os
 
-    pos_tap = quad_phase_sampler(gbuffer.position, prev_j)
+    # Only the depth channel of position is ever tapped (the quad
+    # depth compares + velocity dilation): phase-decompose the single
+    # 2D plane, not all four position channels.
+    pos_tap = quad_phase_sampler(gbuffer.position[..., 3], prev_j)
     inst_tap = quad_phase_sampler(gbuffer.instance.astype(jnp.float32), prev_j)
     if _os.environ.get("HIKARI_VELQ_SELECT"):
         vel_tap = quad_phase_sampler(gbuffer.velocity_uv, prev_j)
@@ -163,7 +166,7 @@ def smaa_tu4x(
     )
 
     cur_instance = inst_tap(0, 0)
-    cur_depth = pos_tap(0, 0, 3)
+    cur_depth = pos_tap(0, 0)
 
     # ---- ONE window gather for every reprojected fetch ----
     # The ±2.5-texel bias taps (prev depth textureGathers + prev instance
@@ -320,7 +323,7 @@ def smaa_tu4x(
             dds = None
             for dy in (0, 1):
                 for dx in (0, 1):
-                    d = cur_depth - pos_tap(cy + dy, cx + dx, 3)
+                    d = cur_depth - pos_tap(cy + dy, cx + dx)
                     dds = d * d if dds is None else dds + d * d
             # safe_sqrt0: with a static scene the gathered prev depths can
             # equal cur_depth exactly -> dds == 0 (see utils.safe_sqrt0).
