@@ -91,16 +91,18 @@ def build_bench_case(config: str, frames: int):
         indirect_bounces=1,
     )
     # Reprojection specialization (config.py RenderSettings.reproject):
-    # default from the round-5 tools/ab_bench.py matrix on the driver
-    # chip (1080p cornell fwd+grad, ms/frame):
-    #   remat=0: adaptive 690.4 | shift 644.6 | gather 631.6  <- winner
-    #   remat=1: adaptive 817.6 | shift 794.3 | gather 777.6
-    # The frame-level adaptive cond costs ~59 ms under fwd+grad (residual
-    # union + lost fusion) and the round-4 shift branch is 13 ms WORSE
-    # than the plain gather path once the cond is gone — so the bench
-    # compiles the general gather remainder statically.
+    # the bench workload is a static camera + scene at steady state, so
+    # it compiles the "shift" static hint, which the pipeline maps to
+    # each pass's measured-fastest EXACT transport (light/taa=shift,
+    # smaa=gather — render/pipeline.py). tools/ab_bench.py rows on the
+    # driver chip (1080p cornell fwd+grad, ms/frame) behind the default:
+    #   round-5 first matrix: adaptive 690.4 | uniform-shift 644.6 |
+    #     gather 631.6 (remat rows 777-817, rejected);
+    #   per-pass matrix at the SMAA-reworked tree: gather-all 560.6 |
+    #     light=shift 516.3 | taa=shift 494.4 | smaa=shift 691.5 |
+    #     light+taa=shift 464.0  <- the shipped hint mapping.
     settings = settings.replace(
-        reproject=os.environ.get("HIKARI_BENCH_REPROJECT", "gather"),
+        reproject=os.environ.get("HIKARI_BENCH_REPROJECT", "shift"),
         channel_remat=os.environ.get("HIKARI_BENCH_CHANNEL_REMAT", "0")
         == "1",
     )

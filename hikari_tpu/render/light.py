@@ -466,6 +466,12 @@ def direct_lit_pass(
         rad = jnp.where(trace_condition[..., None], rad, 0.0)
         return rad, info2
 
+    import os as _os_probe
+
+    _detach_candidate = bool(
+        _os_probe.environ.get("HIKARI_PROBE_DETACH_CANDIDATE")
+    )
+
     def sampling_branch(r_in, take_mask):
         """New-candidate sampling + temporal ReSTIR (light.wgsl:1108-1153).
         ``take_mask``: pixels whose reservoir actually takes the update."""
@@ -479,6 +485,8 @@ def direct_lit_pass(
             sample_emissive=emissive_lit,
             trace_method=settings.tracer,
         )
+        if _detach_candidate:  # measurement probe only — changes gradients
+            candidate, info = jax.lax.stop_gradient((candidate, info))
         ray_origin = position + normal * RAY_BIAS
         ray_dir = candidate.direction
         cond_ = (dot3(ray_dir, normal) > 0.0) & (candidate.p > 0.0)

@@ -211,8 +211,32 @@ def _frame_rest(
 ):
     """Everything after the G-buffer, with the reprojection transport
     chosen STATICALLY ("shift" | "gather") — the two branches of
-    render_frame's single frame-level lax.cond."""
+    render_frame's single frame-level lax.cond (or the host-level static
+    hint, config.py RenderSettings.reproject)."""
     frame_number = state.frame_number
+
+    # Per-pass transport A/B (tools/ab_bench.py): at zero velocity BOTH
+    # transports are exact, so the fastest one can be chosen per pass.
+    # HIKARI_REPROJECT_{LIGHT,SMAA,TAA} override the frame-level choice
+    # for measurement; the shipped per-pass policy is set from the
+    # measured matrix (see the reproject commit trail).
+    import os as _os
+
+    def _rp(name):
+        return _os.environ.get(f"HIKARI_REPROJECT_{name.upper()}", reproject)
+
+    rp_light, rp_smaa, rp_taa = _rp("light"), _rp("smaa"), _rp("taa")
+    if rp_smaa == "shift" and "HIKARI_REPROJECT_SMAA" not in _os.environ:
+        # The "shift" static hint picks each pass's measured-FASTEST exact
+        # transport, not uniformly the shift one: at zero velocity the two
+        # transports are bitwise-identical per pass, and the r5 ab_bench
+        # matrix (1080p cornell fwd+grad, driver chip) splits them —
+        #   gather everywhere 560.6 | light=shift 516.3 | taa=shift 494.4
+        #   | smaa=shift 691.5 (!) | light+taa=shift 464.0.
+        # SMAA's quad-phase shift taps lose ~130 ms to its packed
+        # identity-gather; light reservoirs + TAA win on shift. So the
+        # hint maps to light/taa=shift + smaa=gather.
+        rp_smaa = "gather"
 
     # ---- LIGHT ----
     albedo = ckpt(
@@ -235,7 +259,7 @@ def _frame_rest(
             settings,
             emissive_lit=False,
             render_emissive=True,
-            reproject=reproject,
+            reproject=rp_light,
         ),
         "direct_lit",
     )(scene, state.direct_temporal, de_spatial)
@@ -282,7 +306,7 @@ def _frame_rest(
                     frame_number,
                     settings,
                     emissive_lit=True,
-                    reproject=reproject,
+                    reproject=rp_light,
                 ),
                 "emissive_spatial",
             )(scene, em_temporal, de_spatial, em_var)
@@ -316,7 +340,7 @@ def _frame_rest(
                 noise_bank,
                 frame_number,
                 settings,
-                reproject=reproject,
+                reproject=rp_light,
             ),
             "indirect_lit",
         )(scene, state.indirect_temporal, indirect_spatial)
@@ -336,7 +360,7 @@ def _frame_rest(
                     frame_number,
                     settings,
                     emissive_lit=False,
-                    reproject=reproject,
+                    reproject=rp_light,
                 ),
                 "indirect_spatial",
             )(scene, ind_temporal, indirect_spatial, ind_var)
@@ -419,7 +443,7 @@ def _frame_rest(
             current, state.prev_upscaled, gbuffer, state.prev_gbuffer,
             frame_number,
             stop=_stop.split(":", 1)[1] if _stop.startswith("smaa:") else None,
-            reproject=reproject,
+            reproject=rp_smaa,
         )
         current = _cg(current, 1e4, "smaa")
         prev_upscaled = current
@@ -436,7 +460,7 @@ def _frame_rest(
             state.prev_gbuffer,
             settings.clear_color,
             settings.upscale_ratio,
-            reproject=reproject,
+            reproject=rp_taa,
         )
         current = _cg(current, 1e4, "taa")
         prev_taa = current

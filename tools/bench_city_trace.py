@@ -23,6 +23,13 @@ def main():
         buffers = build_scene_buffers(build_scenes()["helmet"])
         o, d = make_rays(buffers, 1 << 18)  # mixed coherent/incoherent
         o = jnp.asarray(o); d = jnp.asarray(d)
+    elif "--scene" in sys.argv:
+        # The scene config's EXACT 512p primary rays (the gbuffer trace
+        # that is 62.5 of the 75 ms scene prepass, round-5 ladder).
+        scene, cam, settings = CONFIGS["scene"]()
+        buffers = build_scene_buffers(scene)
+        o, d = cam.pixel_rays((512, 512), None)
+        o = o.reshape(-1, 3); d = d.reshape(-1, 3)
     else:
         scene, cam, settings = CONFIGS["city"]()
         buffers = build_scene_buffers(scene)
