@@ -398,6 +398,41 @@ def _trace_bruteforce(scene, o, d, maxd, excl, lo, hi):
     )
 
 
+def _permute_packed(arrays, order):
+    """Apply ONE permutation to many (R,) / (R, k) arrays via a single
+    packed row gather. Gathers price per OUTPUT ROW nearly independent
+    of width (tools/bench_gather.py), so the tiled backends' old
+    per-array sort/inverse permutes — 11 + 4 separate gathers — were
+    ~26 ms of the 56 ms scene primary dispatch (round-5
+    tools/bench_city_trace.py --scene: kernel 30 ms, wrapper 56.6).
+    Integer arrays ride as exact f32 VALUES (all trace ints — prim ids,
+    instance ids, [lo, hi) — are < 2^24, the same bound the tiled
+    walkers' f32 prim_id lanes assert). NOT a bitcast: small i32 bit
+    patterns are f32 DENORMALS, and TPU data movement flushes denormals
+    to zero (measured: a bitcast version of this permute silently zeroed
+    prim/lo/hi on the chip while CPU interpret stayed correct)."""
+    parts, spec = [], []
+    for x in arrays:
+        xf = x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+        if xf.ndim == 1:
+            parts.append(xf)
+            spec.append((x.dtype, 1))
+        else:
+            parts.extend(xf[:, i] for i in range(xf.shape[1]))
+            spec.append((x.dtype, xf.shape[1]))
+    K = len(parts)
+    packed = jnp.concatenate(parts).reshape(K, -1).T  # (R, K)
+    rows = packed[order]
+    out, off = [], 0
+    for dt, w in spec:
+        y = rows[:, off] if w == 1 else rows[:, off : off + w]
+        off += w
+        if dt != jnp.float32:
+            y = y.astype(dt)
+        out.append(y)
+    return out
+
+
 def _trace_tiled(scene, o, d, maxd, early, excl, lo, hi):
     """Tile-binned cluster tracing (trace/tiled.py): octant-sorted ray
     tiles walk per-tile distance-sorted triangle clusters near-to-far."""
@@ -414,8 +449,11 @@ def _trace_tiled(scene, o, d, maxd, early, excl, lo, hi):
 
     Rp = -(-R // TILE_R) * TILE_R
 
-    def prep(x, fill=0.0):
-        x = x[order]
+    os_, ds_, maxds, earlys, excls, los, his = _permute_packed(
+        [o, d, maxd, early, excl, lo, hi], order
+    )
+
+    def pad(x, fill=0.0):
         if Rp == R:
             return x
         return jnp.concatenate(
@@ -424,12 +462,11 @@ def _trace_tiled(scene, o, d, maxd, early, excl, lo, hi):
 
     t, prim, u, v = trace_tiled(
         scene,
-        prep(o), prep(d, 1.0), prep(maxd), prep(early),
-        prep(excl, -1), prep(lo), prep(hi, 0),
+        pad(os_), pad(ds_, 1.0), pad(maxds), pad(earlys),
+        pad(excls, -1), pad(los), pad(his, 0),
     )
-    t, prim, u, v = (
-        t[:R][inv_order], prim[:R][inv_order],
-        u[:R][inv_order], v[:R][inv_order],
+    t, prim, u, v = _permute_packed(
+        [t[:R], prim[:R], u[:R], v[:R]], inv_order
     )
     inst = jnp.where(prim >= 0, scene.tri_inst[jnp.maximum(prim, 0)], -1)
     hit = Hit(t=t, prim=prim, inst=inst.astype(jnp.int32), u=u, v=v)
@@ -505,8 +542,11 @@ def _trace_pallas_tiled(scene, o, d, maxd, early, excl, lo, hi):
     inv_order = jnp.argsort(order, stable=True)
     Rp = -(-R // TILE_R) * TILE_R
 
-    def prep(x, fill=0.0):
-        x = x[order]
+    os_, ds_, maxds, earlys, excls, los, his = _permute_packed(
+        [o, d, maxd, early, excl, lo, hi], order
+    )
+
+    def pad(x, fill=0.0):
         if Rp == R:
             return x
         return jnp.concatenate(
@@ -517,13 +557,12 @@ def _trace_pallas_tiled(scene, o, d, maxd, early, excl, lo, hi):
     interpret = jax.default_backend() != "tpu"
     t, prim, u, v = trace_pallas_tiled(
         packed, cmin, cmax, cvalid,
-        prep(o), prep(d, 1.0), prep(maxd), prep(early),
-        prep(excl, -1), prep(lo), prep(hi, 0),
+        pad(os_), pad(ds_, 1.0), pad(maxds), pad(earlys),
+        pad(excls, -1), pad(los), pad(his, 0),
         interpret=interpret, cluster=cluster, use_skip=use_skip,
     )
-    t, prim, u, v = (
-        t[:R][inv_order], prim[:R][inv_order],
-        u[:R][inv_order], v[:R][inv_order],
+    t, prim, u, v = _permute_packed(
+        [t[:R], prim[:R], u[:R], v[:R]], inv_order
     )
     inst = jnp.where(prim >= 0, scene.tri_inst[jnp.maximum(prim, 0)], -1)
     hit = Hit(t=t, prim=prim, inst=inst.astype(jnp.int32), u=u, v=v)
