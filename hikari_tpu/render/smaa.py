@@ -445,6 +445,12 @@ def smaa_tu4x(
         ]
         return jnp.stack(out_planes, axis=-1)
 
+    # Measured-and-rejected (r5): a "phase_gather" transport that built
+    # the window channels from quarter-res phase planes (quad-phase taps,
+    # no out-res build, no gather) ran 203 ms vs 76.6 for the gather path
+    # at bench shapes — the per-channel slice+parity-select construction
+    # is the same slow op class that makes the shift accessor lose; the
+    # out-res pack build + one row gather remains XLA's fastest shape.
     return cond_window_gather(
         identity,
         _shift_at,
