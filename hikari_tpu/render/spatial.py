@@ -63,6 +63,27 @@ from hikari_tpu.scene.buffers import SceneBuffers
 from hikari_tpu.utils import TAU, dot3, fract, luminance, random_float, safe_normalize
 
 
+def _spatial_unroll() -> bool:
+    """Python-unroll the rolled-tap loop with constant indices instead of
+    lax.fori_loop. The body is unchanged and only the loop index becomes
+    a compile-time constant, so the op sequence is identical; XLA's
+    fusion/FMA-formation choices differ between the two graphs, measured
+    at maxdiff 5.3e-06 over a 6-frame 64px CPU pipeline (not bitwise —
+    same class as any fusion-boundary change). Default: on for TPU
+    (bench-level A/B, tools/ab_bench.py, driver chip, 1080p cornell
+    fwd+grad: fori_loop 463.4 vs unroll 450.7 ms/frame), off elsewhere —
+    the unrolled graph compiles minutes-slower on the CPU backend, which
+    would tax the test suite and the multichip dryrun for no win there.
+    HIKARI_SPATIAL_UNROLL=0/1 overrides (trace-time env read; A/B cells
+    run in subprocesses)."""
+    import os
+
+    v = os.environ.get("HIKARI_SPATIAL_UNROLL")
+    if v not in (None, ""):
+        return bool(int(v))
+    return jax.default_backend() == "tpu"
+
+
 def spatial_reuse_pass(
     scene: SceneBuffers,
     camera: Camera,
@@ -321,6 +342,17 @@ def spatial_reuse_pass(
             occluded = pick(*occ_k)
             return eval_tap(r, q, sample_depth, in_bounds, occluded)
 
+        if _spatial_unroll():
+            # Python unroll with CONSTANT jnp loop indices: bitwise-identical
+            # math (the body is unchanged; fi/radius/tap_count const-fold),
+            # but the K roll+select chains of every tap become independent
+            # subgraphs XLA can hoist/interleave, and the ~25-plane reservoir
+            # carry stops round-tripping HBM per fori_loop iteration.
+            # Measured A/B (tools/ab_bench.py): see commit trail.
+            out = r
+            for i in range(1, reuse_count + 1):
+                out = roll_tap_body(jnp.asarray(i, jnp.int32), out)
+            return out
         return jax.lax.fori_loop(1, reuse_count + 1, roll_tap_body, r)
 
     if settings.spatial_taps == "rolls":
